@@ -1,0 +1,105 @@
+"""Unrolled Plug-and-Play ADMM with Gaussian likelihood — the flagship solver.
+
+Capability parity: reference ``models/unrolled_admm_gaussian.py`` (the model
+``train.py:41`` instantiates for every ``--model Unrolled_ADMM`` run).
+Structure per forward pass on (B, 48, 48) stamps:
+
+1. spectra:  Y = F(pad2(y)), H = F(pad2(psf)) at 2Hx2W (linear-conv padding),
+2. schedule: per-iteration penalty rho from SubNet(psf, alpha)
+             (or a learnable per-iteration vector when ``subnet=False``),
+3. init:     Wiener solve z0 = crop(F^-1(Ht Y / (|H|^2 + 1/alpha))),
+4. n_iters unrolled iterations of
+       x = crop(F^-1((Ht Y + F(pad2(rho z - u))) / (rho + |H|^2)))   (x-update)
+       z = ResUNet(rho x + u)                                         (PnP z-update)
+       u = u + rho (x - z)                                            (dual)
+5. returns the final z, or the full (x, z, u, rho) iteration traces when
+   ``analysis=True`` (reference ``analysis`` flag, used by figures/analysis.ipynb).
+
+TPU design: everything is expressed on the real half-spectrum (rfft2) —
+all spectra involved are Hermitian so this is exact and halves the FFT
+cost; the iteration is a Python-unrolled static loop (n_iters is 2/4/8) so
+XLA schedules the FFTs and the denoiser convolutions of consecutive
+iterations together; the denoiser weights are shared across iterations
+(plug-and-play), so unrolling adds no parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from galaxy_deconv_tpu.nets import ResUNet, SubNet
+from galaxy_deconv_tpu.ops import fourier
+
+
+def gaussian_spectra(y: jnp.ndarray, psf: jnp.ndarray):
+    """Padded-domain spectra for the Gaussian ADMM: Y, Ht, |H|^2 at (2H, 2W)."""
+    Y = fourier.rfft2(fourier.ifftshift2(fourier.pad_double(y)))
+    H = fourier.rfft2(fourier.ifftshift2(fourier.pad_double(psf)))
+    return Y, jnp.conj(H), jnp.abs(H) ** 2
+
+
+def wiener_init(Y: jnp.ndarray, Ht: jnp.ndarray, HtH: jnp.ndarray, alpha: jnp.ndarray, shape) -> jnp.ndarray:
+    """Wiener-deconvolution initialization on the padded grid, cropped back."""
+    x0 = fourier.fftshift2(fourier.irfft2(Y * Ht / (HtH + 1.0 / alpha[..., None, None]), shape))
+    return fourier.crop_half(x0)
+
+
+def x_update(Y, Ht, HtH, z, u, rho, shape):
+    """Closed-form Fourier solve of the quadratic x-subproblem.
+
+    ``rho`` is (B, 1, 1) so it broadcasts against both the (B, H, W) image
+    grid and the (B, 2H, W+1) half-spectrum grid.
+    """
+    rhs = Ht * Y + fourier.rfft2(fourier.ifftshift2(fourier.pad_double(rho * z - u)))
+    x = fourier.fftshift2(fourier.irfft2(rhs / (rho + HtH), shape))
+    return fourier.crop_half(x)
+
+
+class UnrolledADMMGaussian(nn.Module):
+    """The flagship 8-iteration unrolled PnP-ADMM (Gaussian likelihood)."""
+
+    n_iters: int = 8
+    features: Sequence[int] = (32, 64, 128, 256)
+    subnet: bool = True
+    analysis: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, obs: jnp.ndarray, psf: jnp.ndarray, alpha: jnp.ndarray, train: bool = False):
+        B = obs.shape[0]
+        alpha = jnp.reshape(alpha, (B,)).astype(jnp.float32)
+        y = jnp.maximum(obs, 0.0)
+        padded_shape = (2 * y.shape[-2], 2 * y.shape[-1])
+
+        Y, Ht, HtH = gaussian_spectra(y, psf)
+
+        if self.subnet:
+            rho_iters = SubNet(n_outputs=self.n_iters, dtype=self.dtype)(psf, alpha, train=train)  # (B, n)
+        else:
+            rho_vec = self.param("rho_iters", nn.initializers.ones, (self.n_iters,))
+            rho_iters = jnp.broadcast_to(rho_vec[None, :], (B, self.n_iters))
+
+        denoiser = ResUNet(features=self.features, dtype=self.dtype)
+
+        z = wiener_init(Y, Ht, HtH, alpha, padded_shape)
+        u = jnp.zeros_like(y)
+
+        traces = {"x": [], "z": [], "u": [], "rho": []}
+        for i in range(self.n_iters):
+            rho = rho_iters[:, i][:, None]  # (B, 1), broadcast over (B, H, W) via [..., None]
+            rho_img = rho[..., None]
+            x = x_update(Y, Ht, HtH, z, u, rho_img, padded_shape)
+            z = denoiser((rho_img * x + u)[..., None])[..., 0]
+            u = u + rho_img * (x - z)
+            if self.analysis:
+                traces["x"].append(x)
+                traces["z"].append(z)
+                traces["u"].append(u)
+                traces["rho"].append(rho_img)
+
+        if self.analysis:
+            return {k: jnp.stack(v, axis=1) for k, v in traces.items()}
+        return z

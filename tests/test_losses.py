@@ -1,0 +1,121 @@
+"""Loss-layer tests: identities, gradients, and batching parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galaxy_deconv_tpu.losses import (
+    BestEllipseLoss,
+    MomentBasedLoss,
+    MultiScaleLoss,
+    ShapeConstraint,
+    build_loss,
+    compute_moments,
+    get_model_name,
+    mse_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def pair(rng):
+    out = jnp.asarray(rng.standard_normal((4, 48, 48)).astype(np.float32))
+    tgt = jnp.asarray(rng.standard_normal((4, 48, 48)).astype(np.float32))
+    return out, tgt
+
+
+def gaussian_blob(cx, cy, sx, sy, theta=0.0, H=48):
+    ys, xs = np.meshgrid(np.arange(H), np.arange(H), indexing="ij")
+    x = (xs - cx) * np.cos(theta) + (ys - cy) * np.sin(theta)
+    y = -(xs - cx) * np.sin(theta) + (ys - cy) * np.cos(theta)
+    return np.exp(-(x**2 / (2 * sx**2) + y**2 / (2 * sy**2))).astype(np.float32)
+
+
+class TestMultiScale:
+    def test_zero_on_identical(self, pair):
+        out, _ = pair
+        assert float(MultiScaleLoss()(out, out)) == 0.0
+
+    def test_positive_and_grad(self, pair):
+        out, tgt = pair
+        loss = MultiScaleLoss()
+        assert float(loss(out, tgt)) > 0
+        g = jax.grad(lambda o: loss(o, tgt))(out)
+        assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+    def test_scale_weights(self):
+        # constant offset: every scale sees the same L1 = c, so
+        # loss = c * (1 + 1/2 + 1/4)
+        out = jnp.zeros((1, 8, 8))
+        tgt = jnp.full((1, 8, 8), 2.0)
+        assert float(MultiScaleLoss()(out, tgt)) == pytest.approx(2.0 * 1.75)
+
+
+class TestMoments:
+    def test_centroid_of_blob(self):
+        img = jnp.asarray(gaussian_blob(30.0, 18.0, 3, 3)[None])
+        m = compute_moments(img)
+        assert float(m["cx"][0]) == pytest.approx(30.0, abs=0.05)
+        assert float(m["cy"][0]) == pytest.approx(18.0, abs=0.05)
+
+    def test_loss_zero_identical_and_sensitive_to_shift(self):
+        a = jnp.asarray(gaussian_blob(24, 24, 4, 3)[None])
+        b = jnp.asarray(gaussian_blob(26, 24, 4, 3)[None])
+        loss = MomentBasedLoss()
+        assert float(loss(a, a)) == pytest.approx(0.0, abs=1e-8)
+        assert float(loss(a, b)) > 0.1
+
+
+class TestBestEllipse:
+    def test_zero_on_identical_and_orders_candidates(self):
+        tgt = jnp.asarray(gaussian_blob(24, 24, 8, 4, theta=0.5)[None])
+        close = jnp.asarray(gaussian_blob(24, 24, 8, 4, theta=0.6)[None])
+        far = jnp.asarray(gaussian_blob(20, 28, 3, 9, theta=-0.8)[None])
+        loss = BestEllipseLoss()
+        l_same = float(loss(tgt, tgt))
+        l_close = float(loss(close, tgt))
+        l_far = float(loss(far, tgt))
+        assert l_same < 1e-4
+        assert l_same <= l_close < l_far
+
+    def test_grad_finite(self):
+        tgt = jnp.asarray(gaussian_blob(24, 24, 6, 4)[None])
+        out = jnp.asarray(gaussian_blob(25, 23, 5, 5)[None])
+        g = jax.grad(lambda o: BestEllipseLoss(ellipse_levels=(0.4, 0.5, 0.6))(o, tgt))(out)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestShapeConstraint:
+    @pytest.fixture(scope="class")
+    def loss(self):
+        return ShapeConstraint(fov_pixels=48, n_shearlet=2)
+
+    def test_zero_on_identical(self, loss, pair):
+        out, _ = pair
+        assert float(loss(out, out)) == pytest.approx(0.0, abs=1e-10)
+
+    def test_exceeds_mse(self, loss, pair):
+        out, tgt = pair
+        assert float(loss(out, tgt)) >= float(mse_loss(out, tgt))
+
+    def test_grad(self, loss, pair):
+        out, tgt = pair
+        g = jax.grad(lambda o: loss(o, tgt))(out)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestNaming:
+    def test_reference_scheme(self):
+        assert get_model_name("Unrolled_ADMM", "MultiScale") == "Gaussian_PnP_ADMM_8iters_MultiScale"
+        assert get_model_name("ShapeNet", "Shape") == "ShapeNet_Laplacian"
+        assert get_model_name("Tikhonet", "MSE", filter="Identity") == "Tikhonet_Identity_MSE"
+        assert get_model_name("ResUNet", "MSE") == "ResUNet_MSE"
+
+    def test_build_loss(self):
+        assert isinstance(build_loss("MultiScale"), MultiScaleLoss)
+        assert isinstance(build_loss("MomentBasedLoss"), MomentBasedLoss)
+        assert build_loss("MSE") is mse_loss
+        be = build_loss("BestEllipse")
+        assert isinstance(be, BestEllipseLoss) and len(be.ellipse_levels) == 17
+        with pytest.raises(ValueError):
+            build_loss("Nope")

@@ -1,0 +1,82 @@
+"""Metric tests: PSNR identities and shear-estimator calibration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galaxy_deconv_tpu.metrics import delta_psf, estimate_shear, psnr
+
+
+def sheared_gaussian(g1, g2, sigma=3.0, H=48, flux=100.0, dx=0.0, dy=0.0):
+    ys = np.arange(H) - H // 2 - dy
+    xs = np.arange(H) - H // 2 - dx
+    Y, X = np.meshgrid(ys, xs, indexing="ij")
+    Xs = (1 - g1) * X - g2 * Y
+    Ys = -g2 * X + (1 + g1) * Y
+    img = np.exp(-(Xs**2 + Ys**2) / (2 * sigma**2))
+    return (flux * img / img.sum()).astype(np.float32)
+
+
+class TestPSNR:
+    def test_known_value(self):
+        a = jnp.zeros((1, 8, 8))
+        b = jnp.ones((1, 8, 8)) * 0.5
+        # pixel_max = 0.5, mse = 0.25 -> 20*log10(0.5/0.5) = 0
+        assert float(psnr(a, b)[0]) == pytest.approx(0.0, abs=1e-5)
+
+    def test_higher_for_closer(self, rng):
+        gt = jnp.asarray(rng.standard_normal((2, 16, 16)).astype(np.float32))
+        near = gt + 0.01
+        far = gt + 0.5
+        assert (np.asarray(psnr(near, gt)) > np.asarray(psnr(far, gt))).all()
+
+
+class TestShearEstimator:
+    @pytest.mark.parametrize("sigma", [2.0, 3.0, 5.0])
+    @pytest.mark.parametrize("g", [(0.03, 0.0), (0.0, 0.05), (0.05, -0.05), (-0.02, 0.04)])
+    def test_unbiased_on_gaussians(self, sigma, g):
+        img = sheared_gaussian(*g, sigma=sigma)
+        out = np.asarray(estimate_shear(jnp.asarray(img[None])))[0]
+        assert out[0] == pytest.approx(g[0], abs=2e-3)
+        assert out[1] == pytest.approx(g[1], abs=2e-3)
+        assert out[2] == pytest.approx(np.hypot(*g), abs=3e-3)
+
+    def test_round_galaxy_zero_shear(self):
+        img = sheared_gaussian(0.0, 0.0)
+        out = np.asarray(estimate_shear(jnp.asarray(img[None])))[0]
+        assert abs(out[2]) < 1e-4
+
+    def test_batched(self):
+        imgs = np.stack([sheared_gaussian(0.03, 0.0), sheared_gaussian(0.0, 0.04)])
+        out = np.asarray(estimate_shear(jnp.asarray(imgs)))
+        assert out.shape == (2, 3)
+        assert out[0, 0] == pytest.approx(0.03, abs=2e-3)
+        assert out[1, 1] == pytest.approx(0.04, abs=2e-3)
+
+    def test_subpixel_offset_consistency(self):
+        """The benchmark compares rec vs gt of the *same* galaxy; a common
+        sub-pixel offset must shift both estimates together."""
+        a = sheared_gaussian(0.03, 0.02, dx=0.7, dy=-0.5)
+        b = sheared_gaussian(0.03, 0.02, dx=0.7, dy=-0.5, flux=73.0)
+        ea = np.asarray(estimate_shear(jnp.asarray(a[None])))[0]
+        eb = np.asarray(estimate_shear(jnp.asarray(b[None])))[0]
+        # flux-scaled copy of the same image: only the M00+C denominators
+        # differ; estimates stay within a few 1e-3
+        np.testing.assert_allclose(ea[:2], eb[:2], atol=5e-3)
+
+    def test_psf_deconvolution_path(self):
+        """Measuring (gal * psf) while deconvolving by the psf must recover
+        the same shear as measuring the galaxy alone."""
+        gal = sheared_gaussian(0.04, -0.02, sigma=3.0)
+        psf = sheared_gaussian(0.0, 0.0, sigma=2.0, flux=1.0)
+        blurred = np.fft.irfft2(np.fft.rfft2(np.fft.ifftshift(gal)) * np.fft.rfft2(np.fft.ifftshift(psf)), (48, 48))
+        blurred = np.fft.fftshift(blurred).astype(np.float32)
+        e_deconv = np.asarray(
+            estimate_shear(jnp.asarray(blurred[None]), jnp.asarray(psf[None]), deconv_psf=True)
+        )[0]
+        e_direct = np.asarray(estimate_shear(jnp.asarray(gal[None])))[0]
+        np.testing.assert_allclose(e_deconv[:2], e_direct[:2], atol=3e-3)
+
+    def test_delta_psf_fixture(self):
+        d = delta_psf(48, 48)
+        assert d.shape == (48, 48) and d[24, 24] == 1.0 and d.sum() == 1.0

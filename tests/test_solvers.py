@@ -1,0 +1,176 @@
+"""Solver zoo tests: golden parity with the reference on real stamps,
+closed-form identities, shapes, gradients, and the analysis trace mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from galaxy_deconv_tpu.models import (
+    ADMMNet,
+    NoDeconv,
+    RichardsonLucy,
+    Tikhonet,
+    UnrolledADMM,
+    UnrolledADMMGaussian,
+    Wiener,
+    build_model,
+)
+
+
+@pytest.fixture(scope="module")
+def stamps(fixtures_dir):
+    d = np.load(fixtures_dir / "solver_goldens.npz")
+    return {k: d[k] for k in d.files}
+
+
+def batchify(a):
+    return jnp.asarray(a)[None]
+
+
+class TestWiener:
+    def test_golden_parity(self, stamps):
+        model = Wiener()
+        v = model.init(jax.random.PRNGKey(0), batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]]))
+        rec = np.asarray(model.apply(v, batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]])))[0]
+        scale = np.abs(stamps["wiener"]).max()
+        np.testing.assert_allclose(rec, stamps["wiener"], atol=2e-4 * scale)
+
+    def test_delta_psf_closed_form(self, rng):
+        obs = jnp.asarray(rng.standard_normal((2, 48, 48)).astype(np.float32))
+        psf = np.zeros((2, 48, 48), np.float32)
+        psf[:, 24, 24] = 1.0
+        alpha = jnp.asarray([2.0, 5.0])
+        model = Wiener()
+        v = model.init(jax.random.PRNGKey(0), obs, jnp.asarray(psf), alpha)
+        rec = np.asarray(model.apply(v, obs, jnp.asarray(psf), alpha))
+        want = np.asarray(obs) * (np.array([2.0, 5.0]) / (np.array([2.0, 5.0]) + 350.0))[:, None, None]
+        np.testing.assert_allclose(rec, want, rtol=1e-4, atol=1e-5)
+
+
+class TestRichardsonLucy:
+    @pytest.mark.parametrize("n_iters,key", [(10, "rl10"), (30, "rl30")])
+    def test_golden_parity(self, stamps, n_iters, key):
+        model = RichardsonLucy(n_iters=n_iters)
+        v = model.init(jax.random.PRNGKey(0), batchify(stamps["obs"]), batchify(stamps["psf"]))
+        rec = np.asarray(model.apply(v, batchify(stamps["obs"]), batchify(stamps["psf"])))[0]
+        scale = np.abs(stamps[key]).max()
+        np.testing.assert_allclose(rec, stamps[key], atol=5e-4 * scale)
+
+    def test_delta_psf_is_identity(self, rng):
+        obs = jnp.asarray(np.abs(rng.standard_normal((1, 48, 48))).astype(np.float32))
+        psf = np.zeros((1, 48, 48), np.float32)
+        psf[:, 24, 24] = 1.0
+        model = RichardsonLucy(n_iters=5)
+        v = model.init(jax.random.PRNGKey(0), obs, jnp.asarray(psf))
+        rec = np.asarray(model.apply(v, obs, jnp.asarray(psf)))
+        np.testing.assert_allclose(rec, np.asarray(obs), rtol=1e-3, atol=1e-4)
+
+
+class TestUnrolledADMMGaussian:
+    @pytest.fixture(scope="class")
+    def small_model(self):
+        return UnrolledADMMGaussian(n_iters=2, features=(8, 16, 32, 64))
+
+    @pytest.fixture(scope="class")
+    def vars_(self, small_model, stamps):
+        return small_model.init(
+            jax.random.PRNGKey(0), batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]])
+        )
+
+    def test_forward_shape_finite(self, small_model, vars_, stamps):
+        rec = small_model.apply(vars_, batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]]))
+        assert rec.shape == (1, 48, 48)
+        assert np.isfinite(np.asarray(rec)).all()
+
+    def test_has_batch_stats_from_subnet(self, vars_):
+        assert "batch_stats" in vars_
+
+    def test_analysis_traces(self, vars_, stamps):
+        model = UnrolledADMMGaussian(n_iters=2, features=(8, 16, 32, 64), analysis=True)
+        out = model.apply(vars_, batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]]))
+        assert set(out) == {"x", "z", "u", "rho"}
+        assert out["x"].shape == (1, 2, 48, 48)
+        assert out["rho"].shape == (1, 2, 1, 1)
+
+    def test_no_subnet_variant(self, stamps):
+        model = UnrolledADMMGaussian(n_iters=2, features=(8, 16, 32, 64), subnet=False)
+        v = model.init(jax.random.PRNGKey(0), batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]]))
+        assert v["params"]["rho_iters"].shape == (2,)
+        rec = model.apply(v, batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]]))
+        assert np.isfinite(np.asarray(rec)).all()
+
+    def test_gradients_flow(self, small_model, vars_, stamps):
+        obs = batchify(stamps["obs"])
+        psf = batchify(stamps["psf"])
+        alpha = jnp.asarray([stamps["alpha"]])
+        gt = batchify(stamps["gt"])
+
+        def loss(params):
+            rec = small_model.apply({"params": params, "batch_stats": vars_["batch_stats"]}, obs, psf, alpha)
+            return jnp.mean((rec - gt) ** 2)
+
+        g = jax.grad(loss)(vars_["params"])
+        norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
+        assert all(np.isfinite(norms))
+        assert max(norms) > 0
+
+
+class TestUnrolledADMMPoisson:
+    @pytest.mark.parametrize("llh", ["Poisson", "Gaussian"])
+    def test_forward(self, stamps, llh):
+        model = UnrolledADMM(n_iters=2, llh=llh, features=(8, 16, 32, 64))
+        obs = batchify(stamps["obs"])
+        psf = batchify(stamps["psf"])
+        alpha = jnp.asarray([stamps["alpha"]])
+        v = model.init(jax.random.PRNGKey(0), obs, psf, alpha)
+        rec = model.apply(v, obs, psf, alpha)
+        assert rec.shape == (1, 48, 48)
+        assert np.isfinite(np.asarray(rec)).all()
+
+    def test_soft_threshold_variant(self, stamps):
+        model = UnrolledADMM(n_iters=2, pnp=False, subnet=False)
+        obs = batchify(stamps["obs"])
+        psf = batchify(stamps["psf"])
+        alpha = jnp.asarray([stamps["alpha"]])
+        v = model.init(jax.random.PRNGKey(0), obs, psf, alpha)
+        rec = model.apply(v, obs, psf, alpha)
+        assert np.isfinite(np.asarray(rec)).all()
+
+
+class TestOtherSolvers:
+    def test_admmnet(self, stamps):
+        model = ADMMNet(n_iters=2, features=(8, 16, 32, 64))
+        obs = batchify(stamps["obs"])
+        psf = batchify(stamps["psf"])
+        alpha = jnp.asarray([stamps["alpha"]])
+        v = model.init(jax.random.PRNGKey(0), obs, psf, alpha)
+        rec = model.apply(v, obs, psf, alpha)
+        assert rec.shape == (1, 48, 48) and np.isfinite(np.asarray(rec)).all()
+
+    def test_tikhonet(self, stamps):
+        model = Tikhonet(filter="Laplacian")
+        obs = batchify(stamps["obs"])
+        psf = batchify(stamps["psf"])
+        alpha = jnp.asarray([stamps["alpha"]])
+        v = model.init(jax.random.PRNGKey(0), obs, psf, alpha)
+        rec = model.apply(v, obs, psf, alpha)
+        assert rec.shape == (1, 48, 48) and np.isfinite(np.asarray(rec)).all()
+
+    def test_no_deconv(self, stamps):
+        model = NoDeconv()
+        obs = batchify(stamps["obs"])
+        v = model.init(jax.random.PRNGKey(0), obs, obs, jnp.ones((1,)))
+        np.testing.assert_array_equal(np.asarray(model.apply(v, obs, obs, jnp.ones((1,)))), np.asarray(obs))
+
+
+class TestRegistry:
+    def test_suffix_parsing(self):
+        m = build_model("Richard-Lucy(30)")
+        assert isinstance(m, RichardsonLucy) and m.n_iters == 30
+        m = build_model("Unrolled_ADMM_Gaussian(8)", features=(8, 16, 32, 64))
+        assert isinstance(m, UnrolledADMMGaussian) and m.n_iters == 8
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            build_model("NotAModel")
