@@ -1,0 +1,152 @@
+"""Command-line interface.
+
+Subcommands map onto the reference's entry scripts:
+
+    python -m galaxy_deconv_tpu.cli generate ...   (reference generate_data.py)
+    python -m galaxy_deconv_tpu.cli train ...      (reference train.py)
+    python -m galaxy_deconv_tpu.cli test ...       (reference test.py / test_psf.py)
+    python -m galaxy_deconv_tpu.cli bench ...      (throughput microbenchmark)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+
+def _cmd_generate(ns):
+    from galaxy_deconv_tpu.data import SimulationConfig, generate_dataset
+
+    cfg = SimulationConfig(pupil_n=ns.pupil_n, pupil_pad=2 * ns.pupil_n)
+    root = generate_dataset(
+        ns.data_path, n_train=ns.n_train, n_test=ns.n_test, cfg=cfg, seed=ns.seed, chunk=ns.chunk
+    )
+    print(f"dataset written to {root}")
+
+
+def _cmd_train(ns):
+    import jax
+
+    from galaxy_deconv_tpu.config import from_namespace
+    from galaxy_deconv_tpu.data import GalaxyDataset
+    from galaxy_deconv_tpu.losses import build_loss, get_model_name
+    from galaxy_deconv_tpu.models import Tikhonet, UnrolledADMMGaussian
+    from galaxy_deconv_tpu.parallel import make_mesh
+    from galaxy_deconv_tpu.train import create_train_state, fit, restore_checkpoint
+    from galaxy_deconv_tpu.train.state import default_optimizer
+
+    cfg = from_namespace(ns)
+    model_name = get_model_name(
+        cfg.model, cfg.loss, filter=cfg.filter, n_iters=cfg.n_iters, llh=cfg.llh,
+        remove_subnet=cfg.remove_subnet,
+    )
+    logging.info("training %s on %s", model_name, cfg.data_path)
+
+    if cfg.model == "Unrolled_ADMM":
+        # train.py:41 — the Gaussian flagship regardless of --llh
+        model = UnrolledADMMGaussian(n_iters=cfg.n_iters, subnet=not cfg.remove_subnet)
+    elif cfg.model in ("Tikhonet", "ShapeNet"):
+        model = Tikhonet(filter=cfg.filter)
+    else:
+        raise SystemExit(f"--model {cfg.model} not trainable here")
+
+    loss = "Shape" if cfg.model == "ShapeNet" else cfg.loss
+    loss_fn = build_loss(loss)
+    ds = GalaxyDataset(cfg.data_path, "train")
+    sample = ds.batch(np.arange(min(cfg.batch_size, len(ds))))
+    optimizer = default_optimizer(cfg.lr)
+    state, optimizer = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample, optimizer)
+    if cfg.pretrained_epochs > 0:
+        state = restore_checkpoint(cfg.model_save_path, model_name, cfg.pretrained_epochs, template=state)
+        logging.info("resumed from epoch %d", cfg.pretrained_epochs)
+
+    mesh = make_mesh(cfg.n_devices)
+    state, hist = fit(
+        model, state, optimizer, loss_fn, ds,
+        n_epochs=cfg.n_epochs, batch_size=cfg.batch_size,
+        train_val_split=cfg.train_val_split, seed=cfg.seed,
+        model_name=model_name, save_path=cfg.model_save_path,
+        mesh=mesh, pretrained_epochs=cfg.pretrained_epochs,
+    )
+    print(f"final train_loss={hist['train_loss'][-1]:.5g} val_loss={hist['val_loss'][-1]:.5g}")
+
+
+DEFAULT_METHODS = {
+    "No_Deconv": (0, None),
+    "FPFS": (0, None),
+    "Richard-Lucy(10)": (10, None),
+    "Richard-Lucy(20)": (20, None),
+    "Richard-Lucy(30)": (30, None),
+    "Richard-Lucy(50)": (50, None),
+    "Richard-Lucy(100)": (100, None),
+}
+
+
+def _cmd_test(ns):
+    from galaxy_deconv_tpu.eval import run_psf_error_test, run_shear_test, run_time_test
+
+    methods = dict(DEFAULT_METHODS)
+    if ns.methods:
+        methods = {m: (0, None) for m in ns.methods}
+    for method in methods:
+        if ns.test == "shear":
+            run_shear_test(method, ns.data_path, ns.result_path, snrs=tuple(ns.snrs),
+                           n_gal=ns.n_gal, batch_size=ns.eval_batch_size)
+        elif ns.test == "time":
+            run_time_test(method, ns.data_path, ns.result_path, n_gal=ns.n_gal,
+                          batch_size=ns.eval_batch_size)
+        elif ns.test == "psf_shear":
+            run_psf_error_test(method, ns.data_path, ns.result_path, errs=ns.errs,
+                               kind="shear", n_gal=ns.n_gal, batch_size=ns.eval_batch_size)
+        elif ns.test == "psf_fwhm":
+            run_psf_error_test(method, ns.data_path, ns.result_path, errs=ns.errs,
+                               kind="fwhm", n_gal=ns.n_gal, batch_size=ns.eval_batch_size)
+
+
+def _cmd_bench(ns):
+    import bench as bench_mod  # repo-root bench.py
+
+    bench_mod.main(["--batch", str(ns.batch_size), "--repeats", str(ns.repeats)])
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(prog="galaxy_deconv_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="simulate a benchmark dataset")
+    g.add_argument("--data_path", type=str, required=True)
+    g.add_argument("--n_train", type=int, default=40000)
+    g.add_argument("--n_test", type=int, default=10000)
+    g.add_argument("--pupil_n", type=int, default=512)
+    g.add_argument("--chunk", type=int, default=256)
+    g.add_argument("--seed", type=int, default=31415)
+    g.set_defaults(fn=_cmd_generate)
+
+    from galaxy_deconv_tpu.config import add_args
+
+    t = sub.add_parser("train", help="train a model")
+    add_args(t)
+    t.set_defaults(fn=_cmd_train)
+
+    e = sub.add_parser("test", help="evaluation sweeps")
+    add_args(e)
+    e.add_argument("--methods", type=str, nargs="*", default=None)
+    e.add_argument("--errs", type=float, nargs="*",
+                   default=[0.003, 0.005, 0.01, 0.02, 0.03, 0.05, 0.07, 0.1, 0.15, 0.2])
+    e.set_defaults(fn=_cmd_test)
+
+    b = sub.add_parser("bench", help="throughput microbenchmark")
+    b.add_argument("--batch_size", type=int, default=1024)
+    b.add_argument("--repeats", type=int, default=10)
+    b.set_defaults(fn=_cmd_bench)
+
+    ns = parser.parse_args(argv)
+    ns.fn(ns)
+
+
+if __name__ == "__main__":
+    main()

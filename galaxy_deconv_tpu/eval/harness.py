@@ -1,0 +1,162 @@
+"""Batched evaluation sweeps writing reference-schema results.json files."""
+
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from galaxy_deconv_tpu.data.dataset import GalaxyDataset
+from galaxy_deconv_tpu.metrics import estimate_shear
+from galaxy_deconv_tpu.models import build_model
+
+logger = logging.getLogger("galaxy_deconv_tpu.eval")
+
+
+def _load_results(path: pathlib.Path) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _merge_write(path: pathlib.Path, update: dict):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    results = _load_results(path)
+    for k, v in update.items():
+        if isinstance(v, dict):
+            results.setdefault(k, {}).update(v)
+        else:
+            results[k] = v
+    with open(path, "w") as f:
+        json.dump(results, f)
+
+
+def make_apply_fn(method: str, variables: Optional[dict] = None, **model_kwargs) -> Callable:
+    """Build a jitted (obs, psf, alpha) -> rec for a harness method name.
+
+    'No_Deconv' returns obs; 'FPFS' is handled by the caller (shear measured
+    on obs with the true PSF).  Learned methods require ``variables``.
+    """
+    model = build_model(method, **model_kwargs)
+    if variables is None:
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 48, 48)), jnp.zeros((1, 48, 48)), jnp.ones((1,))
+        )
+
+    @jax.jit
+    def apply_fn(obs, psf, alpha):
+        return model.apply(variables, obs, psf, alpha)
+
+    return apply_fn
+
+
+def _batched_rec_shear(apply_fn, ds: GalaxyDataset, n_gal: int, batch_size: int, method: str):
+    """Run a method over the first n_gal galaxies, measure shear, batched."""
+    shears = []
+    n = min(n_gal, len(ds))
+    for s in range(0, n, batch_size):
+        idx = np.arange(s, min(s + batch_size, n))
+        b = ds.batch(idx)
+        obs, psf, alpha = jnp.asarray(b["obs"]), jnp.asarray(b["psf"]), jnp.asarray(b["alpha"])
+        if method == "No_Deconv":
+            rec = obs
+        elif method == "FPFS":
+            shears.append(np.asarray(estimate_shear(obs, psf, deconv_psf=True)))
+            continue
+        else:
+            rec = apply_fn(obs, psf, alpha)
+        shears.append(np.asarray(estimate_shear(rec)))
+    return np.concatenate(shears, axis=0)
+
+
+def run_shear_test(
+    method: str,
+    data_root,
+    result_path,
+    snrs: Sequence[int] = (20, 40, 60, 80, 100, 150, 200),
+    n_gal: int = 10000,
+    batch_size: int = 512,
+    variables: Optional[dict] = None,
+    **model_kwargs,
+) -> dict:
+    """Shear-recovery sweep over fixed-SNR test variants
+    (reference test.py:20-107, fully batched)."""
+    apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
+    results_file = pathlib.Path(result_path) / method / "results.json"
+
+    for snr in snrs:
+        ds = GalaxyDataset(data_root, "test", obs_variant=f"obs_{snr}")
+        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)
+        update = {str(snr): {"rec_shear": rec_shear.tolist()}}
+        if method == "No_Deconv":
+            n = rec_shear.shape[0]
+            gt = jnp.asarray(ds.gt[:n].astype(np.float32))
+            update[str(snr)]["gt_shear"] = np.asarray(estimate_shear(gt)).tolist()
+        _merge_write(results_file, update)
+        logger.info("%s snr=%s: %d galaxies", method, snr, rec_shear.shape[0])
+    return _load_results(results_file)
+
+
+def run_time_test(
+    method: str,
+    data_root,
+    result_path,
+    n_gal: int = 10000,
+    batch_size: int = 512,
+    variables: Optional[dict] = None,
+    warmup: int = 2,
+    **model_kwargs,
+) -> float:
+    """Wall-clock the full (deconvolve + measure) pipeline
+    (reference test.py:110-192; warm-up runs compile the graphs first)."""
+    apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
+    ds = GalaxyDataset(data_root, "test")
+    for _ in range(warmup):
+        _batched_rec_shear(apply_fn, ds, min(batch_size, n_gal), batch_size, method)
+    t0 = time.time()
+    rec = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)
+    jax.block_until_ready(rec) if hasattr(rec, "block_until_ready") else None
+    elapsed = time.time() - t0
+    _merge_write(pathlib.Path(result_path) / method / "results.json", {"time": (elapsed, int(rec.shape[0]))})
+    logger.info("%s: %d galaxies in %.3fs (%.1f gal/s)", method, rec.shape[0], elapsed, rec.shape[0] / elapsed)
+    return elapsed
+
+
+def run_psf_error_test(
+    method: str,
+    data_root,
+    result_path,
+    errs: Sequence[float],
+    kind: str = "shear",  # 'shear' | 'fwhm'
+    n_gal: int = 10000,
+    batch_size: int = 512,
+    variables: Optional[dict] = None,
+    **model_kwargs,
+) -> dict:
+    """PSF-systematics robustness sweep (reference test_psf.py, batched):
+    deconvolve the true observations with perturbed PSFs."""
+    apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
+    results_file = pathlib.Path(result_path) / method / f"results_psf_{kind}_err.json"
+    for e in errs:
+        ds = GalaxyDataset(data_root, "test", psf_variant=f"psf_{kind}_err_{e}")
+        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)
+        _merge_write(results_file, {str(e): {"rec_shear": rec_shear.tolist()}})
+        logger.info("%s psf_%s_err=%s done", method, kind, e)
+    return _load_results(results_file)
+
+
+def median_ellipticity_error(results: dict, gt_results: dict, snr) -> float:
+    """The canonical benchmark metric (reference figures/error_snr.ipynb):
+    median over galaxies of min(|g_rec - g_gt|, 1) on the |g| component."""
+    rec = np.asarray(results[str(snr)]["rec_shear"])
+    gt = np.asarray(gt_results[str(snr)]["gt_shear"])
+    n = min(len(rec), len(gt))
+    return float(np.median(np.minimum(np.abs(rec[:n] - gt[:n]), 1)[:, 2]))

@@ -1,0 +1,54 @@
+"""Train state: parameters, BN statistics, optimizer state."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any  # empty dict for BN-free models
+    opt_state: Any
+
+
+def default_optimizer(lr: float = 2e-4, clip_norm: float = 1.0) -> optax.GradientTransformation:
+    """Adam with global-norm clipping (reference train.py:76,90: clip 1.0)."""
+    return optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
+
+
+def create_train_state(
+    model,
+    key: jax.Array,
+    sample_batch: dict,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    frozen_mask_fn: Optional[Callable] = None,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    """Initialize model variables + optimizer state from a sample batch.
+
+    ``frozen_mask_fn(params) -> pytree of bool`` marks subtrees to exclude
+    from updates (ADMMNet's frozen pretrained denoiser).
+    """
+    variables = model.init(key, sample_batch["obs"], sample_batch["psf"], sample_batch["alpha"])
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if optimizer is None:
+        optimizer = default_optimizer()
+    if frozen_mask_fn is not None:
+        optimizer = optax.multi_transform(
+            {"train": optimizer, "frozen": optax.set_to_zero()},
+            jax.tree.map(lambda frozen: "frozen" if frozen else "train", frozen_mask_fn(params)),
+        )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+    return state, optimizer

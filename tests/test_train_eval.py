@@ -1,0 +1,110 @@
+"""Training-loop and evaluation-harness tests on a tiny generated dataset."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from galaxy_deconv_tpu.data import GalaxyDataset, SimulationConfig, generate_dataset
+from galaxy_deconv_tpu.eval import (
+    median_ellipticity_error,
+    run_psf_error_test,
+    run_shear_test,
+    run_time_test,
+)
+from galaxy_deconv_tpu.losses import MultiScaleLoss
+from galaxy_deconv_tpu.models import UnrolledADMMGaussian
+from galaxy_deconv_tpu.train import (
+    create_train_state,
+    fit,
+    latest_epoch,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from galaxy_deconv_tpu.train.state import default_optimizer
+
+CFG = SimulationConfig(pupil_n=64, pupil_pad=128)
+
+
+@pytest.fixture(scope="module")
+def root(tmp_path_factory):
+    return generate_dataset(
+        tmp_path_factory.mktemp("ds"),
+        n_train=24,
+        n_test=12,
+        cfg=CFG,
+        chunk=12,
+        snrs=(20, 100),
+        shear_errs=(0.02,),
+        fwhm_errs=(0.02,),
+        verbose=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+
+
+class TestFit:
+    def test_two_epochs_and_checkpoint(self, root, tiny_model, tmp_path):
+        ds = GalaxyDataset(root, "train")
+        sample = ds.batch(np.arange(4))
+        state, optimizer = create_train_state(
+            tiny_model, jax.random.PRNGKey(0), sample, default_optimizer(1e-3)
+        )
+        state, hist = fit(
+            tiny_model, state, optimizer, MultiScaleLoss(), ds,
+            n_epochs=2, batch_size=8, eval_every=0,
+            model_name="tiny_admm", save_path=tmp_path,
+        )
+        assert len(hist["train_loss"]) == 2
+        assert np.isfinite(hist["train_loss"]).all()
+        ep = latest_epoch(tmp_path, "tiny_admm")
+        assert ep >= 1
+        restored = restore_checkpoint(tmp_path, "tiny_admm", ep, template=state)
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+    def test_checkpoint_roundtrip_exact(self, root, tiny_model, tmp_path):
+        ds = GalaxyDataset(root, "train")
+        state, _ = create_train_state(tiny_model, jax.random.PRNGKey(1), ds.batch(np.arange(2)))
+        save_checkpoint(tmp_path, "m", 3, state)
+        back = restore_checkpoint(tmp_path, "m", 3, template=state)
+        for x, y in zip(jax.tree.leaves(state.params), jax.tree.leaves(back.params)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestHarness:
+    def test_shear_test_schema_and_metric(self, root, tmp_path):
+        res_nd = run_shear_test("No_Deconv", root, tmp_path, snrs=(100,), n_gal=12, batch_size=8)
+        res_rl = run_shear_test(
+            "Richard-Lucy(10)", root, tmp_path, snrs=(100,), n_gal=12, batch_size=8
+        )
+        with open(tmp_path / "No_Deconv" / "results.json") as f:
+            on_disk = json.load(f)
+        assert "rec_shear" in on_disk["100"] and "gt_shear" in on_disk["100"]
+        assert len(on_disk["100"]["rec_shear"]) == 12
+        assert len(on_disk["100"]["rec_shear"][0]) == 3
+        err_nd = median_ellipticity_error(res_nd, res_nd, 100)
+        err_rl = median_ellipticity_error(res_rl, res_nd, 100)
+        assert 0 <= err_rl <= 1 and 0 <= err_nd <= 1
+
+    def test_fpfs_method(self, root, tmp_path):
+        res = run_shear_test("FPFS", root, tmp_path, snrs=(100,), n_gal=8, batch_size=8)
+        assert len(res["100"]["rec_shear"]) == 8
+
+    def test_time_test(self, root, tmp_path):
+        elapsed = run_time_test("No_Deconv", root, tmp_path, n_gal=12, batch_size=8, warmup=1)
+        assert elapsed > 0
+        with open(tmp_path / "No_Deconv" / "results.json") as f:
+            res = json.load(f)
+        assert res["time"][1] == 12
+
+    def test_psf_error_test(self, root, tmp_path):
+        res = run_psf_error_test(
+            "Richard-Lucy(10)", root, tmp_path, errs=(0.02,), kind="shear", n_gal=8, batch_size=8
+        )
+        assert "0.02" in res
