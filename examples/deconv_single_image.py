@@ -1,0 +1,69 @@
+"""Tutorial: deconvolve a single galaxy stamp and measure its shear.
+
+The TPU-framework equivalent of the reference's tutorials/deconv.ipynb:
+load (obs, psf), build the flagship model, restore trained weights (or use
+Richardson-Lucy if none are available), reconstruct, and estimate shear.
+
+Run:  python examples/deconv_single_image.py [--checkpoint saved_models_online --epoch 25000]
+"""
+
+import argparse
+import pathlib
+
+import numpy as np
+
+
+def load_stamp():
+    """Load the demo stamp: the packed test set if present, else random."""
+    root = pathlib.Path("datasets/LSST_23.5_deconv_tpu/test")
+    if root.exists():
+        obs = np.load(root / "obs.npy", mmap_mode="r")[0].astype(np.float32)
+        psf = np.load(root / "psf.npy", mmap_mode="r")[0].astype(np.float32)
+        gt = np.load(root / "gt.npy", mmap_mode="r")[0].astype(np.float32)
+        return obs, psf, gt
+    raise SystemExit("no dataset found — run: python -m galaxy_deconv_tpu.cli generate ...")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", type=str, default="saved_models_online")
+    parser.add_argument("--epoch", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from galaxy_deconv_tpu.metrics import estimate_shear, psnr
+    from galaxy_deconv_tpu.models import build_model
+
+    obs, psf, gt = load_stamp()
+    obs_b, psf_b = jnp.asarray(obs[None]), jnp.asarray(psf[None])
+    alpha = jnp.asarray([float(obs.mean())])
+
+    if args.epoch:
+        from galaxy_deconv_tpu.train import restore_checkpoint
+
+        model = build_model("Unrolled_ADMM_Gaussian(8)")
+        state = restore_checkpoint(args.checkpoint, "Gaussian_PnP_ADMM_8iters_MultiScale", args.epoch)
+        variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+        name = "Unrolled ADMM (8)"
+    else:
+        model = build_model("Richard-Lucy(30)")
+        variables = model.init(jax.random.PRNGKey(0), obs_b, psf_b, alpha)
+        name = "Richardson-Lucy (30)"
+
+    rec = np.asarray(model.apply(variables, obs_b, psf_b, alpha))[0]
+
+    g_gt = np.asarray(estimate_shear(jnp.asarray(gt[None])))[0]
+    g_obs = np.asarray(estimate_shear(obs_b))[0]
+    g_rec = np.asarray(estimate_shear(jnp.asarray(rec[None])))[0]
+
+    print(f"method: {name}")
+    print(f"gt  shear: g1={g_gt[0]:+.4f} g2={g_gt[1]:+.4f} |g|={g_gt[2]:.4f}")
+    print(f"obs shear: |g|={g_obs[2]:.4f}  err={abs(g_obs[2]-g_gt[2]):.4f}")
+    print(f"rec shear: |g|={g_rec[2]:.4f}  err={abs(g_rec[2]-g_gt[2]):.4f}")
+    print(f"psnr(obs, gt)={float(psnr(obs[None], gt[None])[0]):.2f}  psnr(rec, gt)={float(psnr(rec[None], gt[None])[0]):.2f}")
+
+
+if __name__ == "__main__":
+    main()

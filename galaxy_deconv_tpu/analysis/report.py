@@ -1,0 +1,161 @@
+"""Result loading, summary tables, and figures."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Optional, Sequence
+
+import numpy as np
+
+METHOD_STYLE = {
+    # method-substring -> (color, label); order matters (first match wins)
+    "Poisson": ("tab:blue", "Unrolled ADMM (Poisson)"),
+    "Unrolled_ADMM": ("tab:purple", "Unrolled ADMM"),
+    "ADMMNet": ("tab:blue", "ADMMNet"),
+    "Richard-Lucy": ("tab:green", "Richardson-Lucy"),
+    "Tikhonet": ("tab:orange", "Tikhonet"),
+    "ShapeNet": ("tab:pink", "ShapeNet"),
+    "FPFS": ("tab:red", "FPFS"),
+    "Wiener": ("tab:brown", "Wiener"),
+    "No_Deconv": ("black", "No deconvolution"),
+}
+
+
+def method_style(method: str):
+    for key, style in METHOD_STYLE.items():
+        if key in method:
+            return style
+    return ("tab:gray", method)
+
+
+def load_method_results(result_path, method: str, name: str = "results.json") -> dict:
+    with open(pathlib.Path(result_path) / method / name) as f:
+        return json.load(f)
+
+
+def _median_err(rec, gt):
+    n = min(len(rec), len(gt))
+    return float(np.median(np.minimum(np.abs(np.asarray(rec[:n]) - np.asarray(gt[:n])), 1)[:, 2]))
+
+
+def error_table(
+    result_path,
+    methods: Sequence[str],
+    snrs: Sequence[int] = (20, 40, 60, 80, 100, 150, 200),
+    gt_method: str = "No_Deconv",
+) -> dict:
+    """Per-method median-ellipticity-error rows (the BASELINE.md table)."""
+    gt_res = load_method_results(result_path, gt_method)
+    table = {}
+    for m in methods:
+        res = load_method_results(result_path, m)
+        row = {}
+        for snr in snrs:
+            if str(snr) in res and str(snr) in gt_res:
+                row[snr] = _median_err(res[str(snr)]["rec_shear"], gt_res[str(snr)]["gt_shear"])
+        if "time" in res:
+            secs, n = res["time"]
+            row["time_per_gal"] = secs / max(n, 1)
+        table[m] = row
+    return table
+
+
+def summarize_results(result_path, methods: Sequence[str], snrs=(20, 40, 60, 80, 100, 150, 200)) -> str:
+    """Markdown summary table of the benchmark."""
+    table = error_table(result_path, methods, snrs)
+    header = "| Method | " + " | ".join(f"SNR {s}" for s in snrs) + " | time/gal (s) |"
+    sep = "|---" * (len(snrs) + 2) + "|"
+    lines = [header, sep]
+    for m, row in table.items():
+        cells = [f"{row.get(s, float('nan')):.4f}" if s in row else "—" for s in snrs]
+        t = f"{row['time_per_gal']:.2e}" if "time_per_gal" in row else "—"
+        lines.append(f"| {m} | " + " | ".join(cells) + f" | {t} |")
+    return "\n".join(lines)
+
+
+def plot_loss(train_loss, val_loss, epoch_min: int, save_path, model_name: str):
+    """Loss curves (reference utils/utils_plot.py:62-75)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = np.arange(1, len(train_loss) + 1)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(epochs, train_loss, label="train")
+    ax.plot(epochs, val_loss, label="val")
+    if 0 <= epoch_min < len(val_loss):
+        ax.axvline(epoch_min + 1, ls="--", c="gray", lw=0.8, label=f"best (ep {epoch_min + 1})")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.set_title(model_name)
+    ax.legend()
+    out = pathlib.Path(save_path) / f"{model_name}_loss.jpg"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_error_vs_snr(
+    result_path,
+    methods: Sequence[str],
+    snrs=(20, 40, 60, 80, 100, 150, 200),
+    save_to: Optional[str] = None,
+):
+    """Median ellipticity error vs SNR (reference figures/error_snr.ipynb)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    table = error_table(result_path, methods, snrs)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for m, row in table.items():
+        xs = [s for s in snrs if s in row]
+        ys = [row[s] for s in xs]
+        color, label = method_style(m)
+        ax.plot(xs, ys, "o-", color=color, label=f"{label} ({m})" if label != m else m)
+    ax.set_xlabel("SNR")
+    ax.set_ylabel("median ellipticity error")
+    ax.set_xscale("log")
+    ax.legend(fontsize=7)
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_psf_error(
+    result_path,
+    methods: Sequence[str],
+    errs: Sequence[float],
+    kind: str = "shear",
+    gt_method: str = "No_Deconv",
+    gt_snr: int = 100,
+    save_to: Optional[str] = None,
+):
+    """Error vs systematic PSF error (reference figures/psf_error.ipynb)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gt_res = load_method_results(result_path, gt_method)
+    gt = gt_res[str(gt_snr)]["gt_shear"]
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for m in methods:
+        res = load_method_results(result_path, m, f"results_psf_{kind}_err.json")
+        xs = [e for e in errs if str(e) in res]
+        ys = [_median_err(res[str(e)]["rec_shear"], gt) for e in xs]
+        color, label = method_style(m)
+        ax.plot(xs, ys, "o-", color=color, label=m)
+    ax.set_xlabel(f"PSF {kind} error")
+    ax.set_ylabel("median ellipticity error")
+    ax.set_xscale("log")
+    ax.legend(fontsize=7)
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig

@@ -432,6 +432,37 @@ def simulate_batch(key: jax.Array, n: int, cfg: SimulationConfig = SimulationCon
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n", "cfg"))
+def simulate_batch_denoise(key: jax.Array, n: int, cfg: SimulationConfig = SimulationConfig()) -> dict:
+    """Denoising-task variant (reference generate_data.py:337-452): no PSF
+    convolution — obs = gt + CCD noise.  SNR drawn p ∝ x^-0.44 on [18, 320]
+    as in the reference's denoise generator."""
+    kp, kn = jax.random.split(key)
+    params = sample_params(kp, n, cfg)
+    # reference denoise-task SNR distribution
+    p, lo, hi = 0.44, 18.0, 320.0
+    t = jax.random.uniform(jax.random.fold_in(kp, 55), (n,))
+    snr = (t * (hi ** (1 - p) - lo ** (1 - p)) + lo ** (1 - p)) ** (1.0 / (1 - p))
+    sigma = noise_sigma(cfg.pixel_scale)
+
+    gal_hi = jax.lax.map(lambda i: render_galaxy(jax.tree.map(lambda a: a[i], params), cfg), jnp.arange(n))
+    gal_down = _downsample(gal_hi, cfg.upsample)
+    alpha = snr * sigma / jnp.sqrt((gal_down**2).sum(axis=(-2, -1)))
+    gt = alpha[:, None, None] * gal_down
+    obs = gt + sigma * jax.random.normal(kn, gt.shape)
+    g1 = params["gal_g"] * jnp.cos(2 * params["gal_beta"])
+    g2 = params["gal_g"] * jnp.sin(2 * params["gal_beta"])
+    return dict(
+        obs=obs.astype(jnp.float32),
+        psf=jnp.zeros_like(obs),
+        gt=gt.astype(jnp.float32),
+        alpha=alpha.astype(jnp.float32),
+        snr=snr.astype(jnp.float32),
+        gal_g1=g1.astype(jnp.float32),
+        gal_g2=g2.astype(jnp.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("n", "cfg", "fixed_snr"))
 def simulate_batch_at_snr(key: jax.Array, n: int, fixed_snr: float, cfg: SimulationConfig = SimulationConfig()) -> dict:
     """Same galaxies/PSFs as :func:`simulate_batch` for this key, but flux

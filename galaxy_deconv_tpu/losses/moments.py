@@ -56,6 +56,21 @@ def compute_moments(images: jnp.ndarray) -> dict[str, jnp.ndarray]:
     }
 
 
+def ellipse_params_from_moments(images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) -> (B, 5) ellipse parameters (cy, cx, theta, a, b) from the
+    second-moment tensor eigendecomposition (capability parity:
+    reference ``utils/fit_ellipse.py:550-601``, vectorized)."""
+    m = compute_moments(images)
+    delta = m["mu20"] - m["mu02"]
+    theta = 0.5 * jnp.arctan2(2 * m["mu11"], delta + 1e-8)
+    trace = m["mu20"] + m["mu02"]
+    det = m["mu20"] * m["mu02"] - m["mu11"] ** 2
+    disc = jnp.sqrt(jnp.maximum(trace**2 - 4 * det, 0.0) + 1e-8)
+    lam1 = jnp.maximum(0.5 * (trace + disc), 1e-6)
+    lam2 = jnp.maximum(0.5 * (trace - disc), 1e-6)
+    return jnp.stack([m["cy"], m["cx"], theta, jnp.sqrt(lam1), jnp.sqrt(lam2)], axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class MomentBasedLoss:
     centroid_weight: float = 1.0

@@ -17,6 +17,7 @@ Wiener, NoDeconv.
 """
 
 from galaxy_deconv_tpu.models.admmnet import ADMMNet
+from galaxy_deconv_tpu.models.denoiser import ResUNetDenoiser
 from galaxy_deconv_tpu.models.richardson_lucy import RichardsonLucy
 from galaxy_deconv_tpu.models.simple import NoDeconv, Wiener
 from galaxy_deconv_tpu.models.tikhonet import Tikhonet
@@ -28,6 +29,7 @@ __all__ = [
     "ADMMNet",
     "MODEL_REGISTRY",
     "NoDeconv",
+    "ResUNetDenoiser",
     "RichardsonLucy",
     "Tikhonet",
     "UnrolledADMM",

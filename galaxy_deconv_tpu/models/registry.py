@@ -14,6 +14,7 @@ from typing import Any, Callable
 import flax.linen as nn
 
 from galaxy_deconv_tpu.models.admmnet import ADMMNet
+from galaxy_deconv_tpu.models.denoiser import ResUNetDenoiser
 from galaxy_deconv_tpu.models.richardson_lucy import RichardsonLucy
 from galaxy_deconv_tpu.models.simple import NoDeconv, Wiener
 from galaxy_deconv_tpu.models.tikhonet import Tikhonet
@@ -31,6 +32,7 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     "Unrolled_ADMM": UnrolledADMM,
     "Unrolled_ADMM_Gaussian": lambda **kw: UnrolledADMMGaussian(**kw),
     "ADMMNet": ADMMNet,
+    "ResUNet": ResUNetDenoiser,
 }
 
 _SUFFIX = re.compile(r"^(?P<base>.+)\((?P<n>\d+)\)$")

@@ -28,9 +28,20 @@ _SOFTPLUS_INV_1 = float(np.log(np.expm1(1.0)))  # softplus(x) = 1  =>  x = log(e
 
 
 def tikhonov_solve(
-    obs: jnp.ndarray, psf: jnp.ndarray, alpha: jnp.ndarray, lam: jnp.ndarray, filter: str = "Laplacian"
+    obs: jnp.ndarray,
+    psf: jnp.ndarray,
+    alpha: jnp.ndarray,
+    lam: jnp.ndarray,
+    filter: str = "Laplacian",
+    laplacian: str = "reference",
 ) -> jnp.ndarray:
-    """Closed-form Tikhonov-regularized deconvolution at the stamp size."""
+    """Closed-form Tikhonov-regularized deconvolution at the stamp size.
+
+    ``laplacian='reference'`` uses the reference's quirk OTF (six-tap
+    stencil, DC-regularizing — what its shipped weights were trained
+    against; see ops.fourier.laplacian_otf_reference_quirk);
+    ``laplacian='exact'`` uses the correct 3x3 circular embedding.
+    """
     B = obs.shape[0]
     alpha = jnp.reshape(alpha, (B,)).astype(jnp.float32)[:, None, None]
     shape = obs.shape[-2:]
@@ -38,7 +49,10 @@ def tikhonov_solve(
     HtH = jnp.abs(H) ** 2
     numerator = jnp.conj(H) * fourier.rfft2(obs / alpha)
     if filter == "Laplacian":
-        L = fourier.psf_to_otf(fourier.laplacian_kernel(), shape)
+        if laplacian == "reference":
+            L = fourier.laplacian_otf_reference_quirk(shape)
+        else:
+            L = fourier.psf_to_otf(fourier.laplacian_kernel(), shape)
         divisor = HtH + lam * jnp.abs(L) ** 2
     elif filter == "Identity":
         divisor = HtH + lam
@@ -49,6 +63,7 @@ def tikhonov_solve(
 
 class Tikhonet(nn.Module):
     filter: str = "Laplacian"
+    laplacian: str = "reference"  # 'reference' (quirk-parity) | 'exact'
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, psf: jnp.ndarray, alpha: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -57,6 +72,6 @@ class Tikhonet(nn.Module):
         y = jnp.maximum(obs, 0.0)
         lam_raw = self.param("lam_raw", lambda _: jnp.asarray(_SOFTPLUS_INV_1, jnp.float32))
         lam = nn.softplus(lam_raw)
-        x = tikhonov_solve(y, psf, alpha_flat, lam, self.filter)
+        x = tikhonov_solve(y, psf, alpha_flat, lam, self.filter, self.laplacian)
         x = XDenseUNet()(x[..., None], train=train)[..., 0]
         return x * alpha_flat[:, None, None]

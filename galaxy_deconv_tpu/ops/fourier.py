@@ -143,3 +143,36 @@ def _laplacian_np() -> np.ndarray:
 def laplacian_kernel() -> jnp.ndarray:
     """3x3 Laplacian stencil used by the Tikhonov filter."""
     return jnp.asarray(_laplacian_np())
+
+
+@functools.lru_cache(maxsize=None)
+def _laplacian_quirk_np(shape: tuple[int, int]) -> np.ndarray:
+    H, W = shape
+    psf = np.zeros((H, W), np.float32)
+    # the exact array the reference's quadrant swap produces for a 3x3
+    # kernel via torch index-assignment broadcasting (center=2 slices of a
+    # 3x3 tensor broadcast into 2x2 corners)
+    psf[0, W - 1] = 1.0
+    psf[1, W - 1] = 1.0
+    psf[H - 1, 0] = 1.0
+    psf[H - 1, 1] = 1.0
+    psf[H - 2, W - 1] = 1.0
+    psf[H - 1, W - 2] = 1.0
+    psf[H - 1, W - 1] = -4.0
+    return psf
+
+
+def laplacian_otf_reference_quirk(shape: tuple[int, int]) -> jnp.ndarray:
+    """The reference's *actual* Laplacian OTF, quirk included.
+
+    The reference embeds the 3x3 Laplacian with its quadrant swap
+    (``utils/utils_torch.py:79-92``), whose 2x2-corner index assignment
+    silently broadcasts the 1-element/1-row/1-column kernel slices — the
+    resulting stencil has six +1 taps (sum 2, so |L(0)|^2 = 4) instead of
+    four (sum 0).  This is functionally load-bearing: it regularizes the DC
+    mode of the Tikhonov solve, which the mathematically correct stencil
+    leaves untouched.  Provided for behavioral parity with reference-trained
+    Tikhonet/ShapeNet weights; see also :func:`laplacian_kernel` +
+    :func:`psf_to_otf` for the exact circular embedding.
+    """
+    return rfft2(jnp.asarray(_laplacian_quirk_np(tuple(shape))))
