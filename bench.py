@@ -25,6 +25,8 @@ def main(argv=None):
     parser.add_argument("--repeats", type=int, default=10)
     parser.add_argument("--quick", action="store_true", help="small batch / few repeats")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"],
+                        help="denoiser/SubNet compute dtype (FFT solves stay fp32)")
     args = parser.parse_args(argv)
 
     import jax
@@ -50,7 +52,7 @@ def main(argv=None):
     psf = psf / psf.sum(axis=(1, 2), keepdims=True) / 16.0
     alpha = jnp.asarray(np.full((B,), 50.0, np.float32))
 
-    model = UnrolledADMMGaussian(n_iters=8, features=(32, 64, 128, 256))
+    model = UnrolledADMMGaussian(n_iters=8, features=(32, 64, 128, 256), dtype=jnp.dtype(args.dtype))
     variables = model.init(jax.random.PRNGKey(0), obs[:1], psf[:1], alpha[:1])
 
     @jax.jit

@@ -1,0 +1,59 @@
+"""Online (fused-simulation) training and denoise-task tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from galaxy_deconv_tpu.data.simulate import SimulationConfig, noise_sigma, simulate_batch_denoise
+from galaxy_deconv_tpu.losses import MultiScaleLoss
+from galaxy_deconv_tpu.models import ResUNetDenoiser, UnrolledADMMGaussian, build_model
+from galaxy_deconv_tpu.train import create_train_state
+from galaxy_deconv_tpu.train.online import make_online_eval_step, make_online_train_step
+from galaxy_deconv_tpu.train.state import default_optimizer
+
+CFG = SimulationConfig(pupil_n=64, pupil_pad=128)
+
+
+class TestDenoiseTask:
+    def test_simulate_denoise(self):
+        out = jax.tree.map(np.asarray, simulate_batch_denoise(jax.random.PRNGKey(0), 4, CFG))
+        assert out["obs"].shape == (4, 48, 48)
+        # no PSF convolution: obs - gt is pure noise at sigma
+        resid = out["obs"] - out["gt"]
+        assert 0.8 * noise_sigma() < resid.std() < 1.2 * noise_sigma()
+
+    def test_resunet_denoiser_contract(self):
+        model = build_model("ResUNet", features=(4, 8, 8, 8))
+        assert isinstance(model, ResUNetDenoiser)
+        obs = jax.numpy.ones((2, 48, 48))
+        v = model.init(jax.random.PRNGKey(0), obs, obs, jax.numpy.ones((2,)))
+        rec = model.apply(v, obs, obs, jax.numpy.ones((2,)))
+        assert rec.shape == (2, 48, 48)
+
+
+class TestOnlineTraining:
+    def test_fused_step_runs_and_learns(self):
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        from galaxy_deconv_tpu.data.simulate import simulate_batch
+
+        batch = jax.tree.map(np.asarray, simulate_batch(jax.random.PRNGKey(0), 2, CFG))
+        batch["alpha"] = batch["obs"].mean(axis=(1, 2))
+        state, opt = create_train_state(model, jax.random.PRNGKey(0), batch, default_optimizer(1e-3))
+        step = make_online_train_step(model, MultiScaleLoss(), opt, batch_size=4, sim_cfg=CFG, donate=False)
+        losses = []
+        for i in range(6):
+            state, loss = step(state, jax.random.fold_in(jax.random.PRNGKey(1), i))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert int(state.step) == 6
+
+    def test_eval_step_deterministic(self):
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        from galaxy_deconv_tpu.data.simulate import simulate_batch
+
+        batch = jax.tree.map(np.asarray, simulate_batch(jax.random.PRNGKey(0), 2, CFG))
+        batch["alpha"] = batch["obs"].mean(axis=(1, 2))
+        state, _ = create_train_state(model, jax.random.PRNGKey(0), batch, default_optimizer())
+        ev = make_online_eval_step(model, MultiScaleLoss(), batch_size=4, sim_cfg=CFG)
+        k = jax.random.PRNGKey(7)
+        assert float(ev(state, k)) == float(ev(state, k))
