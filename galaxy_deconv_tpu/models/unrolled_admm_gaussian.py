@@ -66,6 +66,10 @@ class UnrolledADMMGaussian(nn.Module):
     subnet: bool = True
     analysis: bool = False
     dtype: Any = jnp.float32
+    # Route the x-update's pointwise spectral solve through the fused Pallas
+    # kernel (ops.pallas_kernels; batch-last lane layout).  Inference-only:
+    # the kernel has no VJP, training uses the XLA path.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, psf: jnp.ndarray, alpha: jnp.ndarray, train: bool = False):
@@ -87,11 +91,18 @@ class UnrolledADMMGaussian(nn.Module):
         z = wiener_init(Y, Ht, HtH, alpha, padded_shape)
         u = jnp.zeros_like(y)
 
+        if self.use_pallas:
+            from galaxy_deconv_tpu.ops.pallas_kernels import x_update_batch_last
+
+            solve = x_update_batch_last
+        else:
+            solve = x_update
+
         traces = {"x": [], "z": [], "u": [], "rho": []}
         for i in range(self.n_iters):
             rho = rho_iters[:, i][:, None]  # (B, 1), broadcast over (B, H, W) via [..., None]
             rho_img = rho[..., None]
-            x = x_update(Y, Ht, HtH, z, u, rho_img, padded_shape)
+            x = solve(Y, Ht, HtH, z, u, rho_img, padded_shape)
             z = denoiser((rho_img * x + u)[..., None])[..., 0]
             u = u + rho_img * (x - z)
             if self.analysis:
