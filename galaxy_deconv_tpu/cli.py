@@ -50,11 +50,40 @@ def _cmd_train(ns):
         model = UnrolledADMMGaussian(n_iters=cfg.n_iters, subnet=not cfg.remove_subnet)
     elif cfg.model in ("Tikhonet", "ShapeNet"):
         model = Tikhonet(filter=cfg.filter)
+    elif cfg.model == "ResUNet":
+        from galaxy_deconv_tpu.models import ResUNetDenoiser
+
+        model = ResUNetDenoiser()
     else:
         raise SystemExit(f"--model {cfg.model} not trainable here")
 
     loss = "Shape" if cfg.model == "ShapeNet" else cfg.loss
     loss_fn = build_loss(loss)
+
+    if ns.online:
+        # TPU-native mode: simulation fused into the train step; no dataset.
+        from galaxy_deconv_tpu.data.simulate import SimulationConfig, simulate_batch, simulate_batch_denoise
+        from galaxy_deconv_tpu.train.online import fit_online
+        import numpy as _np
+
+        sim_cfg = SimulationConfig()
+        sampler = simulate_batch_denoise if cfg.model == "ResUNet" else simulate_batch
+        sample = jax.tree.map(_np.asarray, sampler(jax.random.PRNGKey(0), 2, sim_cfg))
+        sample["alpha"] = sample["obs"].mean(axis=(1, 2))
+        optimizer = default_optimizer(cfg.lr)
+        state, optimizer = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample, optimizer)
+        state, hist = fit_online(
+            model, state, optimizer, loss_fn,
+            n_steps=ns.n_steps, batch_size=cfg.batch_size, sim_cfg=sim_cfg, seed=cfg.seed,
+            model_name=model_name, save_path=cfg.model_save_path, sampler=sampler,
+        )
+        if hist["train_loss"]:
+            print(f"final train_loss={hist['train_loss'][-1]:.5g} val_loss={hist['val_loss'][-1]:.5g} "
+                  f"({hist['galaxies_per_sec']:.0f} gal/s)")
+        else:
+            print(f"trained {ns.n_steps} steps ({hist['galaxies_per_sec']:.0f} gal/s)")
+        return
+
     ds = GalaxyDataset(cfg.data_path, "train")
     sample = ds.batch(np.arange(min(cfg.batch_size, len(ds))))
     optimizer = default_optimizer(cfg.lr)
@@ -130,6 +159,9 @@ def main(argv=None):
 
     t = sub.add_parser("train", help="train a model")
     add_args(t)
+    t.add_argument("--online", action="store_true",
+                   help="fuse on-device simulation into the train step (no dataset)")
+    t.add_argument("--n_steps", type=int, default=25000, help="steps for --online mode")
     t.set_defaults(fn=_cmd_train)
 
     e = sub.add_parser("test", help="evaluation sweeps")

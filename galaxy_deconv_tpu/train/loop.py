@@ -40,10 +40,13 @@ def make_train_step(model, loss_fn: Callable, optimizer, donate: bool = True):
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
-            out = model.apply(
-                variables, batch["obs"], batch["psf"], batch["alpha"], True, mutable=mutable
-            )
-            rec, updated = out if mutable else (out, {})
+            if mutable:
+                rec, updated = model.apply(
+                    variables, batch["obs"], batch["psf"], batch["alpha"], True, mutable=mutable
+                )
+            else:
+                rec = model.apply(variables, batch["obs"], batch["psf"], batch["alpha"], True)
+                updated = {}
             # reference convention: loss_fn(gt, rec) (train.py:87)
             return loss_fn(batch["gt"], rec), updated.get("batch_stats", state.batch_stats)
 

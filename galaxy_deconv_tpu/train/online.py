@@ -36,11 +36,16 @@ def make_online_train_step(
     batch_size: int,
     sim_cfg: sim.SimulationConfig = sim.SimulationConfig(),
     donate: bool = True,
+    sampler: Callable = sim.simulate_batch,
 ):
-    """(state, key) -> (state, loss): render a fresh batch and train on it."""
+    """(state, key) -> (state, loss): render a fresh batch and train on it.
+
+    ``sampler``: simulate_batch (deconvolution task, default) or
+    simulate_batch_denoise (denoiser pre-training).
+    """
 
     def step(state: TrainState, key: jax.Array):
-        batch = sim.simulate_batch(key, batch_size, sim_cfg)
+        batch = sampler(key, batch_size, sim_cfg)
         # training contract parity: alpha = per-sample mean of the
         # observation (utils/utils_data.py:100), not the simulation truth
         alpha = batch["obs"].mean(axis=(-2, -1))
@@ -51,8 +56,11 @@ def make_online_train_step(
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
-            out = model.apply(variables, batch["obs"], batch["psf"], alpha, True, mutable=mutable)
-            rec, updated = out if mutable else (out, {})
+            if mutable:
+                rec, updated = model.apply(variables, batch["obs"], batch["psf"], alpha, True, mutable=mutable)
+            else:
+                rec = model.apply(variables, batch["obs"], batch["psf"], alpha, True)
+                updated = {}
             return loss_fn(batch["gt"], rec), updated.get("batch_stats", state.batch_stats)
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
@@ -66,11 +74,12 @@ def make_online_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_online_eval_step(model, loss_fn: Callable, batch_size: int, sim_cfg=sim.SimulationConfig()):
+def make_online_eval_step(model, loss_fn: Callable, batch_size: int, sim_cfg=sim.SimulationConfig(),
+                          sampler: Callable = sim.simulate_batch):
     """(state, key) -> loss on a freshly simulated batch (eval-mode BN)."""
 
     def step(state: TrainState, key: jax.Array):
-        batch = sim.simulate_batch(key, batch_size, sim_cfg)
+        batch = sampler(key, batch_size, sim_cfg)
         alpha = batch["obs"].mean(axis=(-2, -1))
         variables = {"params": state.params}
         if state.batch_stats:
@@ -96,15 +105,15 @@ def fit_online(
     model_name: str = "model",
     save_path: Optional[str] = None,
     save_every: int = 5000,
-    loss_scale_ref: Optional[float] = None,
+    sampler: Callable = sim.simulate_batch,
 ):
     """Online training loop.  Validation uses fixed held-out keys (the same
     simulated galaxies every time), so val losses are comparable across the
     run.  Returns (state, history)."""
     from galaxy_deconv_tpu.train.checkpoint import save_checkpoint
 
-    train_step = make_online_train_step(model, loss_fn, optimizer, batch_size, sim_cfg)
-    eval_step = make_online_eval_step(model, loss_fn, batch_size, sim_cfg)
+    train_step = make_online_train_step(model, loss_fn, optimizer, batch_size, sim_cfg, sampler=sampler)
+    eval_step = make_online_eval_step(model, loss_fn, batch_size, sim_cfg, sampler=sampler)
 
     key = jax.random.PRNGKey(seed)
     val_keys = [jax.random.fold_in(jax.random.PRNGKey(seed + 777), i) for i in range(val_batches)]
