@@ -9,6 +9,11 @@ device-side calls.  When the real ``fpfs`` package is installed it can be
 used as a CPU cross-check via ``estimate_shear_fpfs_reference``.
 """
 
+from galaxy_deconv_tpu.metrics.adaptive_moments import (
+    adaptive_moments,
+    estimate_shear_adaptive,
+    estimate_shear_ngmix_reference,
+)
 from galaxy_deconv_tpu.metrics.psnr import psnr
 from galaxy_deconv_tpu.metrics.shear import (
     delta_psf,
@@ -18,7 +23,10 @@ from galaxy_deconv_tpu.metrics.shear import (
 )
 
 __all__ = [
+    "adaptive_moments",
     "delta_psf",
+    "estimate_shear_adaptive",
+    "estimate_shear_ngmix_reference",
     "estimate_shear",
     "estimate_shear_fpfs_reference",
     "fpfs_moments",

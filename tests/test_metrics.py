@@ -80,3 +80,29 @@ class TestShearEstimator:
     def test_delta_psf_fixture(self):
         d = delta_psf(48, 48)
         assert d.shape == (48, 48) and d[24, 24] == 1.0 and d.sum() == 1.0
+
+
+class TestAdaptiveMoments:
+    """ngmix-equivalent elliptical-Gaussian-fit estimator."""
+
+    def test_exact_on_gaussians(self):
+        from galaxy_deconv_tpu.metrics import adaptive_moments, estimate_shear_adaptive
+
+        img = sheared_gaussian(0.04, -0.03, sigma=2.5, dx=0.6, dy=-0.4)
+        out = np.asarray(estimate_shear_adaptive(jnp.asarray(img[None])))[0]
+        assert out[0] == pytest.approx(0.04, abs=1e-3)
+        assert out[1] == pytest.approx(-0.03, abs=1e-3)
+        m = adaptive_moments(jnp.asarray(img[None]))
+        assert float(m["T"][0]) == pytest.approx(2 * 2.5**2, rel=1e-3)
+        assert float(m["cx"][0]) == pytest.approx(24.6, abs=1e-2)
+        assert float(m["cy"][0]) == pytest.approx(23.6, abs=1e-2)
+
+    def test_batched_and_noise_tolerant(self, rng):
+        from galaxy_deconv_tpu.metrics import estimate_shear_adaptive
+
+        imgs = np.stack([sheared_gaussian(0.03, 0.0), sheared_gaussian(0.0, 0.04)])
+        noisy = imgs + rng.normal(0, 0.01 * imgs.max(), imgs.shape).astype(np.float32)
+        out = np.asarray(estimate_shear_adaptive(jnp.asarray(noisy)))
+        assert out.shape == (2, 3)
+        assert out[0, 0] == pytest.approx(0.03, abs=5e-3)
+        assert out[1, 1] == pytest.approx(0.04, abs=5e-3)
