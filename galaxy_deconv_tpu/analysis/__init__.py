@@ -11,6 +11,7 @@ from galaxy_deconv_tpu.analysis.report import (
     error_table,
     load_method_results,
     plot_error_vs_snr,
+    plot_error_vs_time,
     plot_loss,
     plot_psf_error,
     summarize_results,
@@ -20,6 +21,7 @@ __all__ = [
     "error_table",
     "load_method_results",
     "plot_error_vs_snr",
+    "plot_error_vs_time",
     "plot_loss",
     "plot_psf_error",
     "summarize_results",

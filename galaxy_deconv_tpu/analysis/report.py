@@ -127,6 +127,36 @@ def plot_error_vs_snr(
     return fig
 
 
+def plot_error_vs_time(
+    result_path,
+    methods: Sequence[str],
+    snr: int = 100,
+    save_to: Optional[str] = None,
+):
+    """Accuracy-vs-speed scatter (reference figures/error_time.ipynb):
+    median ellipticity error at one SNR against time per galaxy."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    table = error_table(result_path, methods, (snr,))
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for m, row in table.items():
+        if snr not in row or "time_per_gal" not in row:
+            continue
+        color, label = method_style(m)
+        ax.scatter(row["time_per_gal"], row[snr], color=color, label=m)
+    ax.set_xlabel("time per galaxy (s)")
+    ax.set_ylabel(f"median ellipticity error (SNR {snr})")
+    ax.set_xscale("log")
+    ax.legend(fontsize=7)
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_psf_error(
     result_path,
     methods: Sequence[str],
