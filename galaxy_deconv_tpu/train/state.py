@@ -18,8 +18,21 @@ class TrainState:
     opt_state: Any
 
 
-def default_optimizer(lr: float = 2e-4, clip_norm: float = 1.0) -> optax.GradientTransformation:
-    """Adam with global-norm clipping (reference train.py:76,90: clip 1.0)."""
+def default_optimizer(
+    lr: float = 2e-4,
+    clip_norm: float = 1.0,
+    schedule: Optional[str] = None,
+    total_steps: Optional[int] = None,
+) -> optax.GradientTransformation:
+    """Adam with global-norm clipping (reference train.py:76,90: clip 1.0).
+
+    ``schedule='cosine'`` decays lr to lr/10 over ``total_steps`` (useful
+    for the online mode where one pass = the whole run).
+    """
+    if schedule == "cosine":
+        lr = optax.cosine_decay_schedule(lr, total_steps, alpha=0.1)
+    elif schedule is not None:
+        raise ValueError(f"unknown schedule {schedule!r}")
     return optax.chain(optax.clip_by_global_norm(clip_norm), optax.adam(lr))
 
 

@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--batch", type=int, default=250)
     parser.add_argument("--admm_ckpt", default="saved_models_online")
     parser.add_argument("--admm_name", default="Gaussian_PnP_ADMM_8iters_MultiScale")
+    parser.add_argument("--admm_epoch", type=int, default=0, help="0 = latest")
     parser.add_argument("--skip_time", action="store_true")
     parser.add_argument("--skip_psf", action="store_true")
     args = parser.parse_args()
@@ -56,7 +57,7 @@ def main():
         methods["Tikhonet_Laplacian"] = {"variables": load_reference_tikhonet(str(ref_pth))}
 
     # this framework's trained flagship
-    ep = latest_epoch(args.admm_ckpt, args.admm_name)
+    ep = args.admm_epoch or latest_epoch(args.admm_ckpt, args.admm_name)
     if ep:
         state = restore_checkpoint(args.admm_ckpt, args.admm_name, ep)
         params = state["params"] if isinstance(state, dict) else state.params

@@ -1,0 +1,72 @@
+"""Train the learned model zoo online on the TPU, sequentially.
+
+Usage: python scripts/train_zoo.py --models admm4 admm2 tikhonet --steps 15000
+"""
+
+import argparse
+import logging
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+SPECS = {
+    "admm8": ("Gaussian_PnP_ADMM_8iters_MultiScale", "admm", dict(n_iters=8)),
+    "admm4": ("Gaussian_PnP_ADMM_4iters_MultiScale", "admm", dict(n_iters=4)),
+    "admm2": ("Gaussian_PnP_ADMM_2iters_MultiScale", "admm", dict(n_iters=2)),
+    "tikhonet": ("Tikhonet_Laplacian_MultiScale", "tikhonet", dict(filter="Laplacian")),
+    "resunet": ("ResUNet_MultiScale", "resunet", {}),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--models", nargs="+", default=["admm4", "admm2"], choices=list(SPECS))
+    parser.add_argument("--steps", type=int, default=15000)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--save_path", default="saved_models_online")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    import numpy as np
+
+    from galaxy_deconv_tpu.data.simulate import SimulationConfig, simulate_batch, simulate_batch_denoise
+    from galaxy_deconv_tpu.losses import MultiScaleLoss
+    from galaxy_deconv_tpu.models import ResUNetDenoiser, Tikhonet, UnrolledADMMGaussian
+    from galaxy_deconv_tpu.train import create_train_state
+    from galaxy_deconv_tpu.train.online import fit_online
+    from galaxy_deconv_tpu.train.state import default_optimizer
+
+    cfg = SimulationConfig()
+    for key in args.models:
+        name, kind, kw = SPECS[key]
+        if kind == "admm":
+            model = UnrolledADMMGaussian(features=(32, 64, 128, 256), **kw)
+            sampler = simulate_batch
+        elif kind == "tikhonet":
+            model = Tikhonet(**kw)
+            sampler = simulate_batch
+        else:
+            model = ResUNetDenoiser()
+            sampler = simulate_batch_denoise
+
+        sample = jax.tree.map(np.asarray, sampler(jax.random.PRNGKey(0), 2, cfg))
+        sample["alpha"] = sample["obs"].mean(axis=(1, 2))
+        optimizer = default_optimizer(args.lr, schedule="cosine", total_steps=args.steps)
+        state, optimizer = create_train_state(model, jax.random.PRNGKey(0), sample, optimizer)
+        print(f"=== training {name} for {args.steps} steps ===")
+        state, hist = fit_online(
+            model, state, optimizer, MultiScaleLoss(), n_steps=args.steps,
+            batch_size=args.batch, sim_cfg=cfg, seed=0, log_every=500, val_every=1000,
+            model_name=name, save_path=args.save_path, save_every=args.steps,
+            sampler=sampler,
+        )
+        print(f"{name}: final val={hist['val_loss'][-1]:.5g} best={min(hist['val_loss']):.5g} "
+              f"({hist['galaxies_per_sec']:.0f} gal/s)")
+
+
+if __name__ == "__main__":
+    main()
