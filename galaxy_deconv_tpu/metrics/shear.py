@@ -103,6 +103,7 @@ def fpfs_moments(
     ellipticity on cuspy profiles.
     """
     B, H, W = images.shape
+    images = images.astype(jnp.float32)
     images = images - images.min(axis=(-2, -1), keepdims=True)  # reference: obs - obs.min()
     r2, phi = _kgrid(H, W, pix_scale, sigma_arcsec)
     w = jnp.exp(-r2 / 2.0)

@@ -69,4 +69,4 @@ class ADMMNet(nn.Module):
             u1 = u1 + x - z
             u2 = u2 + fourier.conv_fft(H, x) - v
 
-        return x * alpha
+        return (x * alpha).astype(jnp.float32)

@@ -74,4 +74,4 @@ class Tikhonet(nn.Module):
         lam = nn.softplus(lam_raw)
         x = tikhonov_solve(y, psf, alpha_flat, lam, self.filter, self.laplacian)
         x = XDenseUNet()(x[..., None], train=train)[..., 0]
-        return x * alpha_flat[:, None, None]
+        return (x * alpha_flat[:, None, None]).astype(jnp.float32)

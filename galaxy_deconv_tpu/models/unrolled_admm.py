@@ -100,4 +100,5 @@ class UnrolledADMM(nn.Module):
             u1 = u1 + x - z
             u2 = u2 + fourier.conv_fft(H, x) - v
 
-        return x * alpha if self.llh == "Poisson" else x
+        out = x * alpha if self.llh == "Poisson" else x
+        return out.astype(jnp.float32)

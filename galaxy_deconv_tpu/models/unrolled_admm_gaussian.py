@@ -112,5 +112,5 @@ class UnrolledADMMGaussian(nn.Module):
                 traces["rho"].append(rho_img)
 
         if self.analysis:
-            return {k: jnp.stack(v, axis=1) for k, v in traces.items()}
-        return z
+            return {k: jnp.stack(v, axis=1).astype(jnp.float32) for k, v in traces.items()}
+        return z.astype(jnp.float32)
