@@ -122,8 +122,7 @@ def run_time_test(
     for _ in range(warmup):
         _batched_rec_shear(apply_fn, ds, min(batch_size, n_gal), batch_size, method)
     t0 = time.time()
-    rec = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)
-    jax.block_until_ready(rec) if hasattr(rec, "block_until_ready") else None
+    rec = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)  # np result: already synced
     elapsed = time.time() - t0
     _merge_write(pathlib.Path(result_path) / method / "results.json", {"time": (elapsed, int(rec.shape[0]))})
     logger.info("%s: %d galaxies in %.3fs (%.1f gal/s)", method, rec.shape[0], elapsed, rec.shape[0] / elapsed)

@@ -174,3 +174,17 @@ class TestRegistry:
     def test_unknown_raises(self):
         with pytest.raises(KeyError):
             build_model("NotAModel")
+
+
+class TestBf16Path:
+    def test_bf16_compute_returns_fp32_finite(self, stamps):
+        import jax.numpy as jnp2
+
+        model = UnrolledADMMGaussian(n_iters=2, features=(8, 16, 32, 64), dtype=jnp2.bfloat16)
+        obs = batchify(stamps["obs"])
+        psf = batchify(stamps["psf"])
+        alpha = jnp.asarray([stamps["alpha"]])
+        v = model.init(jax.random.PRNGKey(0), obs, psf, alpha)
+        rec = model.apply(v, obs, psf, alpha)
+        assert rec.dtype == jnp2.float32
+        assert np.isfinite(np.asarray(rec)).all()
