@@ -120,19 +120,34 @@ def _cmd_test(ns):
     methods = dict(DEFAULT_METHODS)
     if ns.methods:
         methods = {m: (0, None) for m in ns.methods}
+
+    variables = None
+    if ns.checkpoint_name:
+        # trained weights for learned methods (reference model_file equivalent)
+        from galaxy_deconv_tpu.train.checkpoint import latest_epoch, restore_checkpoint
+
+        ep = ns.checkpoint_epoch or latest_epoch(ns.model_save_path, ns.checkpoint_name)
+        st = restore_checkpoint(ns.model_save_path, ns.checkpoint_name, ep)
+        params = st["params"] if isinstance(st, dict) else st.params
+        stats = st["batch_stats"] if isinstance(st, dict) else st.batch_stats
+        variables = {"params": params, "batch_stats": stats}
+        logging.info("loaded %s epoch %s", ns.checkpoint_name, ep)
+
     for method in methods:
         if ns.test == "shear":
             run_shear_test(method, ns.data_path, ns.result_path, snrs=tuple(ns.snrs),
-                           n_gal=ns.n_gal, batch_size=ns.eval_batch_size)
+                           n_gal=ns.n_gal, batch_size=ns.eval_batch_size, variables=variables)
         elif ns.test == "time":
             run_time_test(method, ns.data_path, ns.result_path, n_gal=ns.n_gal,
-                          batch_size=ns.eval_batch_size)
+                          batch_size=ns.eval_batch_size, variables=variables)
         elif ns.test == "psf_shear":
             run_psf_error_test(method, ns.data_path, ns.result_path, errs=ns.errs,
-                               kind="shear", n_gal=ns.n_gal, batch_size=ns.eval_batch_size)
+                               kind="shear", n_gal=ns.n_gal, batch_size=ns.eval_batch_size,
+                               variables=variables)
         elif ns.test == "psf_fwhm":
             run_psf_error_test(method, ns.data_path, ns.result_path, errs=ns.errs,
-                               kind="fwhm", n_gal=ns.n_gal, batch_size=ns.eval_batch_size)
+                               kind="fwhm", n_gal=ns.n_gal, batch_size=ns.eval_batch_size,
+                               variables=variables)
 
 
 def _cmd_bench(ns):
@@ -167,6 +182,9 @@ def main(argv=None):
     e = sub.add_parser("test", help="evaluation sweeps")
     add_args(e)
     e.add_argument("--methods", type=str, nargs="*", default=None)
+    e.add_argument("--checkpoint_name", type=str, default=None,
+                   help="run name under --model_save_path to load weights from")
+    e.add_argument("--checkpoint_epoch", type=int, default=0, help="0 = latest")
     e.add_argument("--errs", type=float, nargs="*",
                    default=[0.003, 0.005, 0.01, 0.02, 0.03, 0.05, 0.07, 0.1, 0.15, 0.2])
     e.set_defaults(fn=_cmd_test)
