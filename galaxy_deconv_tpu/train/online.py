@@ -65,7 +65,15 @@ def make_online_train_step(
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        # failure containment: a non-finite loss (bad batch / fp blow-up)
+        # skips the whole update instead of corrupting params/opt state
+        good = jnp.isfinite(loss)
+        new_params = jax.tree.map(lambda p, u: jnp.where(good, p + u, p), state.params, updates)
+        new_opt = jax.tree.map(
+            lambda a, b: jnp.where(good, a, b) if hasattr(a, "shape") and a.shape == getattr(b, "shape", None) else a,
+            new_opt, state.opt_state,
+        )
+        new_stats = jax.tree.map(lambda a, b: jnp.where(good, a, b), new_stats, state.batch_stats)
         return (
             TrainState(step=state.step + 1, params=new_params, batch_stats=new_stats, opt_state=new_opt),
             loss,

@@ -57,3 +57,26 @@ class TestOnlineTraining:
         ev = make_online_eval_step(model, MultiScaleLoss(), batch_size=4, sim_cfg=CFG)
         k = jax.random.PRNGKey(7)
         assert float(ev(state, k)) == float(ev(state, k))
+
+
+class TestFailureContainment:
+    def test_nonfinite_loss_skips_update(self):
+        """A batch that produces a NaN loss must leave params untouched."""
+        import jax.numpy as jnp
+
+        from galaxy_deconv_tpu.models import UnrolledADMMGaussian
+        from galaxy_deconv_tpu.train.loop import make_train_step
+
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        batch = {
+            "obs": np.ones((2, 48, 48), np.float32),
+            "psf": np.ones((2, 48, 48), np.float32) / 100,
+            "alpha": np.ones((2,), np.float32),
+            "gt": np.full((2, 48, 48), np.nan, np.float32),  # poisons the loss
+        }
+        state, opt = create_train_state(model, jax.random.PRNGKey(0), batch, default_optimizer(1e-3))
+        step = make_train_step(model, MultiScaleLoss(), opt, donate=False)
+        before = jax.tree.leaves(state.params)[0].copy()
+        new_state, loss = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+        assert not np.isfinite(float(loss))
+        np.testing.assert_array_equal(np.asarray(jax.tree.leaves(new_state.params)[0]), np.asarray(before))
