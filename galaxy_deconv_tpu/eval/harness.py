@@ -85,12 +85,14 @@ def run_shear_test(
     n_gal: int = 10000,
     batch_size: int = 512,
     variables: Optional[dict] = None,
+    result_name: Optional[str] = None,
     **model_kwargs,
 ) -> dict:
     """Shear-recovery sweep over fixed-SNR test variants
-    (reference test.py:20-107, fully batched)."""
+    (reference test.py:20-107, fully batched).  ``result_name`` overrides
+    the output directory name (e.g. a trained variant of a method)."""
     apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
-    results_file = pathlib.Path(result_path) / method / "results.json"
+    results_file = pathlib.Path(result_path) / (result_name or method) / "results.json"
 
     for snr in snrs:
         ds = GalaxyDataset(data_root, "test", obs_variant=f"obs_{snr}")
@@ -113,6 +115,7 @@ def run_time_test(
     batch_size: int = 512,
     variables: Optional[dict] = None,
     warmup: int = 2,
+    result_name: Optional[str] = None,
     **model_kwargs,
 ) -> float:
     """Wall-clock the full (deconvolve + measure) pipeline
@@ -124,7 +127,7 @@ def run_time_test(
     t0 = time.time()
     rec = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)  # np result: already synced
     elapsed = time.time() - t0
-    _merge_write(pathlib.Path(result_path) / method / "results.json", {"time": (elapsed, int(rec.shape[0]))})
+    _merge_write(pathlib.Path(result_path) / (result_name or method) / "results.json", {"time": (elapsed, int(rec.shape[0]))})
     logger.info("%s: %d galaxies in %.3fs (%.1f gal/s)", method, rec.shape[0], elapsed, rec.shape[0] / elapsed)
     return elapsed
 
@@ -138,12 +141,13 @@ def run_psf_error_test(
     n_gal: int = 10000,
     batch_size: int = 512,
     variables: Optional[dict] = None,
+    result_name: Optional[str] = None,
     **model_kwargs,
 ) -> dict:
     """PSF-systematics robustness sweep (reference test_psf.py, batched):
     deconvolve the true observations with perturbed PSFs."""
     apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
-    results_file = pathlib.Path(result_path) / method / f"results_psf_{kind}_err.json"
+    results_file = pathlib.Path(result_path) / (result_name or method) / f"results_psf_{kind}_err.json"
     for e in errs:
         ds = GalaxyDataset(data_root, "test", psf_variant=f"psf_{kind}_err_{e}")
         rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)

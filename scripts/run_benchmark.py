@@ -2,18 +2,26 @@
 
 Mirrors the reference's test.py method matrix on the framework's own
 simulated LSST benchmark: classical baselines, the transplanted
-reference Tikhonet checkpoint, and this framework's trained ADMM models.
+reference Tikhonet checkpoint, and this framework's trained models
+(auto-discovered from the checkpoint directory).
 
 Usage: python scripts/run_benchmark.py [--data datasets/LSST_23.5_deconv_tpu]
-         [--result results_tpu] [--n_gal 1000] [--admm_ckpt saved_models_online]
+         [--result results_tpu] [--n_gal 1000] [--ckpt saved_models_online]
 """
 
 import argparse
-import json
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# result-dir name -> (registry build name, checkpoint run name)
+TRAINED_SPECS = {
+    "Unrolled_ADMM_Gaussian(8)": ("Unrolled_ADMM_Gaussian(8)", "Gaussian_PnP_ADMM_8iters_MultiScale"),
+    "Unrolled_ADMM_Gaussian(4)": ("Unrolled_ADMM_Gaussian(4)", "Gaussian_PnP_ADMM_4iters_MultiScale"),
+    "Unrolled_ADMM_Gaussian(2)": ("Unrolled_ADMM_Gaussian(2)", "Gaussian_PnP_ADMM_2iters_MultiScale"),
+    "Tikhonet_Laplacian_tpu": ("Tikhonet_Laplacian", "Tikhonet_Laplacian_MultiScale"),
+}
 
 
 def main():
@@ -22,11 +30,11 @@ def main():
     parser.add_argument("--result", default="results_tpu")
     parser.add_argument("--n_gal", type=int, default=1000)
     parser.add_argument("--batch", type=int, default=250)
-    parser.add_argument("--admm_ckpt", default="saved_models_online")
-    parser.add_argument("--admm_name", default="Gaussian_PnP_ADMM_8iters_MultiScale")
-    parser.add_argument("--admm_epoch", type=int, default=0, help="0 = latest")
+    parser.add_argument("--ckpt", default="saved_models_online")
+    parser.add_argument("--admm8_epoch", type=int, default=0, help="0 = latest")
     parser.add_argument("--skip_time", action="store_true")
     parser.add_argument("--skip_psf", action="store_true")
+    parser.add_argument("--only", nargs="*", default=None, help="restrict to these result names")
     args = parser.parse_args()
 
     import logging
@@ -56,32 +64,44 @@ def main():
 
         methods["Tikhonet_Laplacian"] = {"variables": load_reference_tikhonet(str(ref_pth))}
 
-    # this framework's trained flagship
-    ep = args.admm_epoch or latest_epoch(args.admm_ckpt, args.admm_name)
-    if ep:
-        state = restore_checkpoint(args.admm_ckpt, args.admm_name, ep)
-        params = state["params"] if isinstance(state, dict) else state.params
-        stats = state["batch_stats"] if isinstance(state, dict) else state.batch_stats
-        methods["Unrolled_ADMM_Gaussian(8)"] = {
+    # this framework's trained models (whatever checkpoints exist)
+    for result_name, (build_name, ckpt_name) in TRAINED_SPECS.items():
+        ep = latest_epoch(args.ckpt, ckpt_name)
+        if result_name == "Unrolled_ADMM_Gaussian(8)" and args.admm8_epoch:
+            ep = args.admm8_epoch
+        if not ep:
+            continue
+        st = restore_checkpoint(args.ckpt, ckpt_name, ep)
+        params = st["params"] if isinstance(st, dict) else st.params
+        stats = st["batch_stats"] if isinstance(st, dict) else st.batch_stats
+        methods[result_name] = {
             "variables": {"params": params, "batch_stats": stats},
+            "build_name": build_name,
         }
-        print(f"loaded trained ADMM(8) from step {ep}")
+        print(f"loaded {result_name} from {ckpt_name} step {ep}")
 
-    for method, kw in methods.items():
-        run_shear_test(method, args.data, args.result, snrs=snrs, n_gal=args.n_gal,
-                       batch_size=args.batch, **kw)
+    if args.only:
+        methods = {k: v for k, v in methods.items() if k in args.only}
+
+    for method, spec in methods.items():
+        kw = dict(spec)
+        build_name = kw.pop("build_name", method)
+        run_shear_test(build_name, args.data, args.result, snrs=snrs, n_gal=args.n_gal,
+                       batch_size=args.batch, result_name=method, **kw)
         if not args.skip_time:
-            run_time_test(method, args.data, args.result, n_gal=args.n_gal,
-                          batch_size=args.batch, warmup=1, **kw)
+            run_time_test(build_name, args.data, args.result, n_gal=args.n_gal,
+                          batch_size=args.batch, warmup=1, result_name=method, **kw)
 
     if not args.skip_psf:
         errs = (0.003, 0.005, 0.01, 0.02, 0.03, 0.05, 0.07, 0.1, 0.15, 0.2)
         for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Tikhonet_Laplacian"):
             if method in methods:
+                kw = dict(methods[method])
+                build_name = kw.pop("build_name", method)
                 for kind in ("shear", "fwhm"):
-                    run_psf_error_test(method, args.data, args.result, errs=errs, kind=kind,
+                    run_psf_error_test(build_name, args.data, args.result, errs=errs, kind=kind,
                                        n_gal=args.n_gal, batch_size=args.batch,
-                                       **methods[method])
+                                       result_name=method, **kw)
 
     table = summarize_results(args.result, list(methods), snrs)
     out = pathlib.Path("RESULTS.md")
