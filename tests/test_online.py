@@ -80,3 +80,20 @@ class TestFailureContainment:
         new_state, loss = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
         assert not np.isfinite(float(loss))
         np.testing.assert_array_equal(np.asarray(jax.tree.leaves(new_state.params)[0]), np.asarray(before))
+
+
+class TestDeviceResident:
+    def test_fit_device_resident(self, tmp_path):
+        from galaxy_deconv_tpu.data import generate_dataset, GalaxyDataset
+        from galaxy_deconv_tpu.train.device_resident import fit_device_resident
+
+        root = generate_dataset(tmp_path / "ds", n_train=16, n_test=4, cfg=CFG, chunk=8,
+                                snrs=(), shear_errs=(), fwhm_errs=(), verbose=False)
+        ds = GalaxyDataset(root, "train")
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        b = ds.batch(np.arange(4))
+        state, opt = create_train_state(model, jax.random.PRNGKey(0), b, default_optimizer(1e-3))
+        state, hist = fit_device_resident(model, state, opt, MultiScaleLoss(), ds,
+                                          n_epochs=2, batch_size=4)
+        assert len(hist["train_loss"]) == 2
+        assert np.isfinite(hist["train_loss"]).all()
