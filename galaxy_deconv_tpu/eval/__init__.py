@@ -13,6 +13,7 @@ so the reference's figure notebooks can consume them unchanged.
 from galaxy_deconv_tpu.eval.harness import (
     median_ellipticity_error,
     run_psf_error_test,
+    run_psnr_test,
     run_shear_test,
     run_time_test,
 )
@@ -20,6 +21,7 @@ from galaxy_deconv_tpu.eval.harness import (
 __all__ = [
     "median_ellipticity_error",
     "run_psf_error_test",
+    "run_psnr_test",
     "run_shear_test",
     "run_time_test",
 ]

@@ -156,6 +156,38 @@ def run_psf_error_test(
     return _load_results(results_file)
 
 
+def run_psnr_test(
+    method: str,
+    data_root,
+    result_path,
+    snrs: Sequence[int] = (20, 40, 60, 80, 100, 150, 200),
+    n_gal: int = 1000,
+    batch_size: int = 512,
+    variables: Optional[dict] = None,
+    result_name: Optional[str] = None,
+    **model_kwargs,
+) -> dict:
+    """Reconstruction-quality sweep: mean/median PSNR(rec, gt) per SNR
+    (the reference's secondary metric, utils/utils_test.py:7-25)."""
+    from galaxy_deconv_tpu.metrics import psnr
+
+    apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
+    results_file = pathlib.Path(result_path) / (result_name or method) / "results.json"
+    for snr in snrs:
+        ds = GalaxyDataset(data_root, "test", obs_variant=f"obs_{snr}")
+        vals = []
+        n = min(n_gal, len(ds))
+        for s in range(0, n, batch_size):
+            b = ds.batch(np.arange(s, min(s + batch_size, n)))
+            obs, psf, alpha = jnp.asarray(b["obs"]), jnp.asarray(b["psf"]), jnp.asarray(b["alpha"])
+            rec = obs if method in ("No_Deconv", "FPFS") else apply_fn(obs, psf, alpha)
+            vals.append(np.asarray(psnr(rec, jnp.asarray(b["gt"]))))
+        vals = np.concatenate(vals)
+        _merge_write(results_file, {str(snr): {"psnr_mean": float(np.mean(vals)), "psnr_median": float(np.median(vals))}})
+        logger.info("%s snr=%s: PSNR median %.2f dB", method, snr, float(np.median(vals)))
+    return _load_results(results_file)
+
+
 def median_ellipticity_error(results: dict, gt_results: dict, snr) -> float:
     """The canonical benchmark metric (reference figures/error_snr.ipynb):
     median over galaxies of min(|g_rec - g_gt|, 1) on the |g| component."""

@@ -108,3 +108,10 @@ class TestHarness:
             "Richard-Lucy(10)", root, tmp_path, errs=(0.02,), kind="shear", n_gal=8, batch_size=8
         )
         assert "0.02" in res
+
+    def test_psnr_test(self, root, tmp_path):
+        from galaxy_deconv_tpu.eval import run_psnr_test
+
+        res = run_psnr_test("Richard-Lucy(10)", root, tmp_path, snrs=(100,), n_gal=8, batch_size=8)
+        assert "psnr_median" in res["100"]
+        assert np.isfinite(res["100"]["psnr_median"])
