@@ -10,6 +10,7 @@ pointwise complex algebra into the FFT call sites.
 from galaxy_deconv_tpu.ops.fourier import (
     conv_fft,
     conv_fft_full,
+    conv_fft_symm,
     crop_half,
     fftshift2,
     ifftshift2,
@@ -30,6 +31,7 @@ from galaxy_deconv_tpu.ops.resize import (
 __all__ = [
     "conv_fft",
     "conv_fft_full",
+    "conv_fft_symm",
     "crop_half",
     "fftshift2",
     "ifftshift2",

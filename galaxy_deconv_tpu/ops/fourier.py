@@ -129,6 +129,30 @@ def conv_fft(otf: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return irfft2(rfft2(x) * otf, (H, W))
 
 
+def conv_fft_symm(psf: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Convolution with *reflection* boundary handling (aligned output).
+
+    Capability parity: reference ``conv_kernel_symm``
+    (``utils/utils_torch.py:67-77``), which reflection-pads the image by
+    half its size, circularly convolves with the centered kernel, and crops
+    the central region back.  The reference variant leaves the output
+    displaced by the kernel-center offset (its ``pad``+``fftn`` embedding
+    skips the quadrant swap, and ``utils/utils_deblur.py:6-13`` adds an
+    extra one-pixel ``offset``); here the centered-PSF OTF keeps the output
+    aligned with the input — the corrected, aligned form of the same
+    operation (quirk documented, not copied).
+
+    ``psf``: centered kernel (..., kh, kw); ``x``: image (..., H, W).
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    ph, pw = H // 2, W // 2
+    pad = [(0, 0)] * (x.ndim - 2) + [(ph, ph), (pw, pw)]
+    x_pad = jnp.pad(x, pad, mode="reflect")
+    otf = psf_to_otf(psf, (H + 2 * ph, W + 2 * pw))
+    y = conv_fft(otf, x_pad)
+    return y[..., ph : ph + H, pw : pw + W]
+
+
 def conv_fft_full(otf_full_arr: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Circular convolution with a *full* complex OTF (legacy convention)."""
     H, W = x.shape[-2], x.shape[-1]

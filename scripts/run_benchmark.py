@@ -21,6 +21,16 @@ TRAINED_SPECS = {
     "Unrolled_ADMM_Gaussian(4)": ("Unrolled_ADMM_Gaussian(4)", "Gaussian_PnP_ADMM_4iters_MultiScale"),
     "Unrolled_ADMM_Gaussian(2)": ("Unrolled_ADMM_Gaussian(2)", "Gaussian_PnP_ADMM_2iters_MultiScale"),
     "Tikhonet_Laplacian_tpu": ("Tikhonet_Laplacian", "Tikhonet_Laplacian_MultiScale"),
+    "ShapeNet_tpu": ("ShapeNet", "ShapeNet_Laplacian"),
+    "Unrolled_ADMM_Poisson(8)": ("Unrolled_ADMM(8)", "Poisson_PnP_ADMM_8iters_MultiScale"),
+}
+
+# reference shipped checkpoints transplanted through the weight converter
+# (capability: checkpoint migration; saved_models/*.pth)
+REF_TRANSPLANTS = {
+    "Tikhonet_Laplacian": ("Tikhonet_Laplacian", "Tikhonet_Laplacian_50epochs.pth"),
+    "Tikhonet_Identity": ("Tikhonet", "Tikhonet_Identity_50epochs.pth"),
+    "ShapeNet": ("ShapeNet", "ShapeNet_Laplacian_50epochs.pth"),
 }
 
 
@@ -57,12 +67,16 @@ def main():
         "Richard-Lucy(100)": {},
     }
 
-    # transplanted reference Tikhonet (capability: checkpoint migration)
-    ref_pth = pathlib.Path("/root/reference/saved_models/Tikhonet_Laplacian_50epochs.pth")
-    if ref_pth.exists():
-        from galaxy_deconv_tpu.utils import load_reference_tikhonet
+    # transplanted reference checkpoints (capability: checkpoint migration)
+    from galaxy_deconv_tpu.utils import load_reference_tikhonet
 
-        methods["Tikhonet_Laplacian"] = {"variables": load_reference_tikhonet(str(ref_pth))}
+    for result_name, (build_name, fname) in REF_TRANSPLANTS.items():
+        ref_pth = pathlib.Path("/root/reference/saved_models") / fname
+        if ref_pth.exists():
+            methods[result_name] = {
+                "variables": load_reference_tikhonet(str(ref_pth)),
+                "build_name": build_name,
+            }
 
     # this framework's trained models (whatever checkpoints exist)
     for result_name, (build_name, ckpt_name) in TRAINED_SPECS.items():

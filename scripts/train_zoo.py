@@ -11,12 +11,19 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+# key -> (run name, model kind, model kwargs, loss name)
 SPECS = {
-    "admm8": ("Gaussian_PnP_ADMM_8iters_MultiScale", "admm", dict(n_iters=8)),
-    "admm4": ("Gaussian_PnP_ADMM_4iters_MultiScale", "admm", dict(n_iters=4)),
-    "admm2": ("Gaussian_PnP_ADMM_2iters_MultiScale", "admm", dict(n_iters=2)),
-    "tikhonet": ("Tikhonet_Laplacian_MultiScale", "tikhonet", dict(filter="Laplacian")),
-    "resunet": ("ResUNet_MultiScale", "resunet", {}),
+    "admm8": ("Gaussian_PnP_ADMM_8iters_MultiScale", "admm", dict(n_iters=8), "MultiScale"),
+    "admm4": ("Gaussian_PnP_ADMM_4iters_MultiScale", "admm", dict(n_iters=4), "MultiScale"),
+    "admm2": ("Gaussian_PnP_ADMM_2iters_MultiScale", "admm", dict(n_iters=2), "MultiScale"),
+    "tikhonet": ("Tikhonet_Laplacian_MultiScale", "tikhonet", dict(filter="Laplacian"), "MultiScale"),
+    # ShapeNet = Tikhonet trained with the shape-constraint loss
+    # (reference train.py:44-45,58-59)
+    "shapenet": ("ShapeNet_Laplacian", "tikhonet", dict(filter="Laplacian"), "Shape"),
+    # Poisson-likelihood two-dual ADMM (reference models/Unrolled_ADMM.py —
+    # eval-alive in test.py:42-44; train-dead there, trainable here)
+    "poisson8": ("Poisson_PnP_ADMM_8iters_MultiScale", "admm_poisson", dict(n_iters=8), "MultiScale"),
+    "resunet": ("ResUNet_MultiScale", "resunet", {}, "MultiScale"),
 }
 
 
@@ -34,17 +41,21 @@ def main():
     import numpy as np
 
     from galaxy_deconv_tpu.data.simulate import SimulationConfig, simulate_batch, simulate_batch_denoise
-    from galaxy_deconv_tpu.losses import MultiScaleLoss
-    from galaxy_deconv_tpu.models import ResUNetDenoiser, Tikhonet, UnrolledADMMGaussian
+    from galaxy_deconv_tpu.losses import build_loss
+    from galaxy_deconv_tpu.models import ResUNetDenoiser, Tikhonet, UnrolledADMM, UnrolledADMMGaussian
     from galaxy_deconv_tpu.train import create_train_state
     from galaxy_deconv_tpu.train.online import fit_online
     from galaxy_deconv_tpu.train.state import default_optimizer
 
     cfg = SimulationConfig()
     for key in args.models:
-        name, kind, kw = SPECS[key]
+        name, kind, kw, loss_name = SPECS[key]
         if kind == "admm":
             model = UnrolledADMMGaussian(features=(32, 64, 128, 256), **kw)
+            sampler = simulate_batch
+        elif kind == "admm_poisson":
+            # reference denoiser widths nc=[64,128,256,512] (models/Unrolled_ADMM.py:131-139)
+            model = UnrolledADMM(llh="Poisson", **kw)
             sampler = simulate_batch
         elif kind == "tikhonet":
             model = Tikhonet(**kw)
@@ -59,7 +70,7 @@ def main():
         state, optimizer = create_train_state(model, jax.random.PRNGKey(0), sample, optimizer)
         print(f"=== training {name} for {args.steps} steps ===")
         state, hist = fit_online(
-            model, state, optimizer, MultiScaleLoss(), n_steps=args.steps,
+            model, state, optimizer, build_loss(loss_name), n_steps=args.steps,
             batch_size=args.batch, sim_cfg=cfg, seed=0, log_every=500, val_every=1000,
             model_name=name, save_path=args.save_path, save_every=args.steps,
             sampler=sampler,

@@ -128,3 +128,31 @@ class TestShiftConventions:
         p = ops.pad_double(x)
         back = ops.fftshift2(ops.irfft2(ops.rfft2(ops.ifftshift2(p)), (96, 96)))
         np.testing.assert_allclose(np.asarray(back), np.asarray(p), rtol=1e-4, atol=1e-4)
+
+
+class TestConvFftSymm:
+    def test_matches_direct_symmetric_conv(self, rng):
+        """Oracle: O(N^4) direct convolution with reflect boundary."""
+        x = rng.standard_normal((12, 12)).astype(np.float32)
+        k = rng.standard_normal((5, 5)).astype(np.float32)
+        got = np.asarray(ops.conv_fft_symm(jnp.asarray(k), jnp.asarray(x)[None])[0])
+
+        # reflect-pad (no edge duplication, as torch ReflectionPad2d) and
+        # convolve; centered 5x5 kernel taps offsets in [-2, 2]
+        xp = np.pad(x, 5, mode="reflect")
+        want = np.zeros_like(x)
+        for i in range(12):
+            for j in range(12):
+                acc = 0.0
+                for a in range(5):
+                    for b in range(5):
+                        acc += k[a, b] * xp[5 + i - (a - 2), 5 + j - (b - 2)]
+                want[i, j] = acc
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_delta_kernel_is_identity(self, rng):
+        x = rng.standard_normal((2, 16, 16)).astype(np.float32)
+        k = np.zeros((3, 3), np.float32)
+        k[1, 1] = 1.0
+        got = np.asarray(ops.conv_fft_symm(jnp.asarray(k), jnp.asarray(x)))
+        np.testing.assert_allclose(got, x, rtol=1e-4, atol=1e-5)
