@@ -4,7 +4,9 @@ The TPU-framework equivalent of the reference's tutorials/deconv.ipynb:
 load (obs, psf), build the flagship model, restore trained weights (or use
 Richardson-Lucy if none are available), reconstruct, and estimate shear.
 
-Run:  python examples/deconv_single_image.py [--checkpoint saved_models_online --epoch 25000]
+Run:  python examples/deconv_single_image.py [--checkpoint trained --epoch 0]
+(--epoch 0 auto-discovers the latest checkpoint; falls back to
+Richardson-Lucy when none exists)
 """
 
 import argparse
@@ -26,8 +28,8 @@ def load_stamp():
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--checkpoint", type=str, default="saved_models_online")
-    parser.add_argument("--epoch", type=int, default=0)
+    parser.add_argument("--checkpoint", type=str, default="trained")
+    parser.add_argument("--epoch", type=int, default=0, help="0 = latest in --checkpoint")
     args = parser.parse_args()
 
     import jax
@@ -40,11 +42,15 @@ def main():
     obs_b, psf_b = jnp.asarray(obs[None]), jnp.asarray(psf[None])
     alpha = jnp.asarray([float(obs.mean())])
 
-    if args.epoch:
+    from galaxy_deconv_tpu.train.checkpoint import latest_epoch
+
+    run_name = "Gaussian_PnP_ADMM_8iters_MultiScale"
+    epoch = args.epoch or latest_epoch(args.checkpoint, run_name)
+    if epoch:
         from galaxy_deconv_tpu.train import restore_checkpoint
 
         model = build_model("Unrolled_ADMM_Gaussian(8)")
-        state = restore_checkpoint(args.checkpoint, "Gaussian_PnP_ADMM_8iters_MultiScale", args.epoch)
+        state = restore_checkpoint(args.checkpoint, run_name, epoch)
         variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
         name = "Unrolled ADMM (8)"
     else:

@@ -463,7 +463,9 @@ def simulate_batch_denoise(key: jax.Array, n: int, cfg: SimulationConfig = Simul
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "cfg", "fixed_snr"))
+# fixed_snr is traced (0-d scalar), NOT static: one compilation serves every
+# SNR variant in the benchmark sweep
+@functools.partial(jax.jit, static_argnames=("n", "cfg"))
 def simulate_batch_at_snr(key: jax.Array, n: int, fixed_snr: float, cfg: SimulationConfig = SimulationConfig()) -> dict:
     """Same galaxies/PSFs as :func:`simulate_batch` for this key, but flux
     scaled to a fixed SNR (the reference's obs_{snr} test variants)."""
@@ -495,7 +497,10 @@ def simulate_batch_at_snr(key: jax.Array, n: int, fixed_snr: float, cfg: Simulat
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "cfg", "shear_err", "fwhm_err"))
+# shear_err/fwhm_err are traced scalars, NOT static: the 20 robustness
+# error levels share one compilation instead of recompiling the full
+# optics pipeline per level
+@functools.partial(jax.jit, static_argnames=("n", "cfg"))
 def simulate_perturbed_psfs(
     key: jax.Array,
     n: int,

@@ -94,6 +94,16 @@ def main():
         }
         print(f"loaded {result_name} from {ckpt_name} step {ep}")
 
+    # ADMMNet: the frozen-denoiser ablation — plugs the separately trained
+    # ResUNet denoiser (reference models/ADMMNet.py:51-58 training style)
+    ep = latest_epoch(args.ckpt, "ResUNet_MultiScale")
+    if ep:
+        st = restore_checkpoint(args.ckpt, "ResUNet_MultiScale", ep)
+        params = st["params"] if isinstance(st, dict) else st.params
+        methods["ADMMNet"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
+                              "build_name": "ADMMNet"}
+        print(f"assembled ADMMNet from ResUNet_MultiScale step {ep}")
+
     if args.only:
         methods = {k: v for k, v in methods.items() if k in args.only}
 
