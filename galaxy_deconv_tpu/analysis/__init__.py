@@ -14,6 +14,8 @@ from galaxy_deconv_tpu.analysis.report import (
     plot_error_vs_time,
     plot_loss,
     plot_psf_error,
+    plot_reconstruction_grid,
+    plot_admm_trace,
     summarize_results,
 )
 
@@ -24,5 +26,7 @@ __all__ = [
     "plot_error_vs_time",
     "plot_loss",
     "plot_psf_error",
+    "plot_reconstruction_grid",
+    "plot_admm_trace",
     "summarize_results",
 ]

@@ -157,6 +157,80 @@ def plot_error_vs_time(
     return fig
 
 
+def plot_reconstruction_grid(
+    panels: dict,
+    save_to: Optional[str] = None,
+    max_rows: int = 6,
+):
+    """Gallery of stamps (reference figures/grid_plot.ipynb / press.ipynb):
+    one column per entry in ``panels`` (e.g. {"observed": obs, "ADMM(8)":
+    rec, "ground truth": gt}, each (B, H, W)), one row per galaxy."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = list(panels)
+    rows = min(max_rows, min(np.asarray(v).shape[0] for v in panels.values()))
+    fig, axes = plt.subplots(rows, len(names), figsize=(2.2 * len(names), 2.2 * rows), squeeze=False)
+    for r in range(rows):
+        for c, name in enumerate(names):
+            img = np.asarray(panels[name][r])
+            ax = axes[r][c]
+            ax.imshow(img, cmap="magma", origin="lower")
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if r == 0:
+                ax.set_title(name, fontsize=9)
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_admm_trace(
+    traces: dict,
+    sample: int = 0,
+    save_to: Optional[str] = None,
+):
+    """Per-iteration ADMM internals (reference figures/analysis.ipynb):
+    ``traces`` is the ``analysis=True`` output of the unrolled solvers —
+    {"x": (B, n, H, W), "z": ..., "u": ..., "rho": (B, n, 1, 1)}.  Plots the
+    x and z estimates per iteration for one galaxy plus the predicted
+    penalty schedule."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(traces["x"][sample])
+    z = np.asarray(traces["z"][sample])
+    rho = np.asarray(traces["rho"][sample]).reshape(-1)
+    n = x.shape[0]
+    fig, axes = plt.subplots(3, n, figsize=(1.8 * n, 5.6), squeeze=False)
+    for i in range(n):
+        axes[0][i].imshow(x[i], cmap="magma", origin="lower")
+        axes[0][i].set_title(f"x$_{{{i + 1}}}$", fontsize=8)
+        axes[1][i].imshow(z[i], cmap="magma", origin="lower")
+        axes[1][i].set_title(f"z$_{{{i + 1}}}$", fontsize=8)
+        for r in (0, 1):
+            axes[r][i].set_xticks([])
+            axes[r][i].set_yticks([])
+    gs = axes[2][0].get_gridspec()
+    for ax in axes[2]:
+        ax.remove()
+    ax = fig.add_subplot(gs[2, :])
+    ax.plot(np.arange(1, n + 1), rho, "o-")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel(r"$\rho_i$")
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_psf_error(
     result_path,
     methods: Sequence[str],

@@ -51,3 +51,33 @@ class TestReport:
                            save_to=tmp_path / "b.png")
         out = plot_loss([3, 2, 1], [3, 2.5, 2], 2, tmp_path, "m")
         assert (tmp_path / "a.png").exists() and (tmp_path / "b.png").exists() and out.exists()
+
+
+class TestGalleryAndTrace:
+    def test_reconstruction_grid(self, rng, tmp_path):
+        from galaxy_deconv_tpu.analysis import plot_reconstruction_grid
+
+        obs = rng.standard_normal((3, 48, 48)).astype(np.float32)
+        out = tmp_path / "grid.jpg"
+        plot_reconstruction_grid({"observed": obs, "gt": obs * 0.5}, save_to=str(out))
+        assert out.exists() and out.stat().st_size > 0
+
+    def test_admm_trace_figure(self, rng, tmp_path):
+        """End to end: run the flagship in analysis mode, plot its trace."""
+        import jax
+        import jax.numpy as jnp
+
+        from galaxy_deconv_tpu.analysis import plot_admm_trace
+        from galaxy_deconv_tpu.models import UnrolledADMMGaussian
+
+        obs = jnp.abs(jnp.asarray(rng.standard_normal((2, 48, 48)).astype(np.float32))) * 20
+        psf = jnp.abs(jnp.asarray(rng.standard_normal((2, 48, 48)).astype(np.float32)))
+        psf = psf / psf.sum(axis=(1, 2), keepdims=True)
+        alpha = jnp.full((2,), 50.0)
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8), analysis=True)
+        variables = model.init(jax.random.PRNGKey(0), obs, psf, alpha)
+        traces = model.apply(variables, obs, psf, alpha)
+        assert traces["x"].shape == (2, 2, 48, 48)
+        out = tmp_path / "trace.jpg"
+        plot_admm_trace(traces, save_to=str(out))
+        assert out.exists() and out.stat().st_size > 0
