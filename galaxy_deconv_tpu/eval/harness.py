@@ -58,22 +58,46 @@ def make_apply_fn(method: str, variables: Optional[dict] = None, **model_kwargs)
     return apply_fn
 
 
-def _batched_rec_shear(apply_fn, ds: GalaxyDataset, n_gal: int, batch_size: int, method: str):
-    """Run a method over the first n_gal galaxies, measure shear, batched."""
+def _batched_rec_shear(apply_fn, ds: GalaxyDataset, n_gal: int, batch_size: int, method: str,
+                       mesh=None):
+    """Run a method over the first n_gal galaxies, measure shear, batched.
+
+    Every device call uses the same (batch_size, 48, 48) shapes — a ragged
+    final batch is padded by repeating its last galaxy and the surplus rows
+    trimmed after measurement, so one compilation serves the whole sweep.
+    With ``mesh`` the batch axis is sharded across the device mesh and the
+    jitted programs run SPMD (the multi-chip form of the reference's
+    test.py loop; batch_size should be a multiple of the mesh size).
+    """
+    sharding = None
+    if mesh is not None:
+        from galaxy_deconv_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+
+    def device_put(*arrays):
+        arrays = tuple(jnp.asarray(a) for a in arrays)
+        if sharding is not None:
+            arrays = tuple(jax.device_put(a, sharding) for a in arrays)
+        return arrays
+
     shears = []
     n = min(n_gal, len(ds))
     for s in range(0, n, batch_size):
         idx = np.arange(s, min(s + batch_size, n))
+        take = idx.shape[0]
+        if take < batch_size:  # pad to the steady-state shape
+            idx = np.concatenate([idx, np.full(batch_size - take, idx[-1])])
         b = ds.batch(idx)
-        obs, psf, alpha = jnp.asarray(b["obs"]), jnp.asarray(b["psf"]), jnp.asarray(b["alpha"])
+        obs, psf, alpha = device_put(b["obs"], b["psf"], b["alpha"])
         if method == "No_Deconv":
             rec = obs
         elif method == "FPFS":
-            shears.append(np.asarray(estimate_shear(obs, psf, deconv_psf=True)))
+            shears.append(np.asarray(estimate_shear(obs, psf, deconv_psf=True))[:take])
             continue
         else:
             rec = apply_fn(obs, psf, alpha)
-        shears.append(np.asarray(estimate_shear(rec)))
+        shears.append(np.asarray(estimate_shear(rec))[:take])
     return np.concatenate(shears, axis=0)
 
 
@@ -86,6 +110,7 @@ def run_shear_test(
     batch_size: int = 512,
     variables: Optional[dict] = None,
     result_name: Optional[str] = None,
+    mesh=None,
     **model_kwargs,
 ) -> dict:
     """Shear-recovery sweep over fixed-SNR test variants
@@ -96,7 +121,7 @@ def run_shear_test(
 
     for snr in snrs:
         ds = GalaxyDataset(data_root, "test", obs_variant=f"obs_{snr}")
-        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)
+        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh)
         update = {str(snr): {"rec_shear": rec_shear.tolist()}}
         if method == "No_Deconv":
             n = rec_shear.shape[0]
@@ -116,6 +141,7 @@ def run_time_test(
     variables: Optional[dict] = None,
     warmup: int = 2,
     result_name: Optional[str] = None,
+    mesh=None,
     **model_kwargs,
 ) -> float:
     """Wall-clock the full (deconvolve + measure) pipeline
@@ -123,9 +149,9 @@ def run_time_test(
     apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
     ds = GalaxyDataset(data_root, "test")
     for _ in range(warmup):
-        _batched_rec_shear(apply_fn, ds, min(batch_size, n_gal), batch_size, method)
+        _batched_rec_shear(apply_fn, ds, min(batch_size, n_gal), batch_size, method, mesh)
     t0 = time.time()
-    rec = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)  # np result: already synced
+    rec = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh)  # np result: already synced
     elapsed = time.time() - t0
     _merge_write(pathlib.Path(result_path) / (result_name or method) / "results.json", {"time": (elapsed, int(rec.shape[0]))})
     logger.info("%s: %d galaxies in %.3fs (%.1f gal/s)", method, rec.shape[0], elapsed, rec.shape[0] / elapsed)
@@ -142,6 +168,7 @@ def run_psf_error_test(
     batch_size: int = 512,
     variables: Optional[dict] = None,
     result_name: Optional[str] = None,
+    mesh=None,
     **model_kwargs,
 ) -> dict:
     """PSF-systematics robustness sweep (reference test_psf.py, batched):
@@ -150,7 +177,7 @@ def run_psf_error_test(
     results_file = pathlib.Path(result_path) / (result_name or method) / f"results_psf_{kind}_err.json"
     for e in errs:
         ds = GalaxyDataset(data_root, "test", psf_variant=f"psf_{kind}_err_{e}")
-        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method)
+        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh)
         _merge_write(results_file, {str(e): {"rec_shear": rec_shear.tolist()}})
         logger.info("%s psf_%s_err=%s done", method, kind, e)
     return _load_results(results_file)

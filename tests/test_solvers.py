@@ -175,6 +175,20 @@ class TestRegistry:
         with pytest.raises(KeyError):
             build_model("NotAModel")
 
+    def test_poisson_and_shapenet_names(self):
+        """The benchmark-matrix names build the right solvers: Unrolled_ADMM(n)
+        is the two-dual Poisson variant with the reference's denoiser widths
+        (models/Unrolled_ADMM.py:131-139); ShapeNet is a Laplacian Tikhonet."""
+        from galaxy_deconv_tpu.models import Tikhonet, UnrolledADMM
+
+        m = build_model("Unrolled_ADMM(8)")
+        assert isinstance(m, UnrolledADMM)
+        assert m.llh == "Poisson" and m.n_iters == 8 and tuple(m.features) == (64, 128, 256, 512)
+        s = build_model("ShapeNet")
+        assert isinstance(s, Tikhonet) and s.filter == "Laplacian"
+        t = build_model("Tikhonet")
+        assert isinstance(t, Tikhonet) and t.filter == "Identity"
+
 
 class TestBf16Path:
     def test_bf16_compute_returns_fp32_finite(self, stamps):

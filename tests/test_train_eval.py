@@ -96,6 +96,31 @@ class TestHarness:
         res = run_shear_test("FPFS", root, tmp_path, snrs=(100,), n_gal=8, batch_size=8)
         assert len(res["100"]["rec_shear"]) == 8
 
+    def test_ragged_final_batch_padded(self, root, tmp_path):
+        """n_gal not divisible by batch_size: padded device call, trimmed
+        result, identical to the single-batch answer."""
+        a = run_shear_test("Richard-Lucy(10)", root, tmp_path / "a", snrs=(100,), n_gal=10, batch_size=8)
+        b = run_shear_test("Richard-Lucy(10)", root, tmp_path / "b", snrs=(100,), n_gal=10, batch_size=16)
+        np.testing.assert_allclose(
+            np.asarray(a["100"]["rec_shear"]), np.asarray(b["100"]["rec_shear"]), rtol=2e-4, atol=2e-4
+        )
+
+    def test_mesh_sharded_sweep_matches_local(self, root, tmp_path):
+        """The SPMD eval path (batch sharded over the 8-device mesh) produces
+        the same measurements as the single-device path."""
+        from galaxy_deconv_tpu.parallel import make_mesh
+
+        local = run_shear_test("Richard-Lucy(10)", root, tmp_path / "local", snrs=(100,), n_gal=8, batch_size=8)
+        sharded = run_shear_test(
+            "Richard-Lucy(10)", root, tmp_path / "sharded", snrs=(100,), n_gal=8, batch_size=8,
+            mesh=make_mesh(8),
+        )
+        np.testing.assert_allclose(
+            np.asarray(local["100"]["rec_shear"]),
+            np.asarray(sharded["100"]["rec_shear"]),
+            rtol=2e-4, atol=2e-4,
+        )
+
     def test_time_test(self, root, tmp_path):
         elapsed = run_time_test("No_Deconv", root, tmp_path, n_gal=12, batch_size=8, warmup=1)
         assert elapsed > 0
