@@ -11,8 +11,11 @@ Richardson-Lucy when none exists)
 
 import argparse
 import pathlib
+import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def load_stamp():

@@ -185,8 +185,9 @@ def main(argv=None):
     e.add_argument("--checkpoint_name", type=str, default=None,
                    help="run name under --model_save_path to load weights from")
     e.add_argument("--checkpoint_epoch", type=int, default=0, help="0 = latest")
-    e.add_argument("--errs", type=float, nargs="*",
-                   default=[0.003, 0.005, 0.01, 0.02, 0.03, 0.05, 0.07, 0.1, 0.15, 0.2])
+    from galaxy_deconv_tpu.eval import DEFAULT_PSF_ERRS
+
+    e.add_argument("--errs", type=float, nargs="*", default=list(DEFAULT_PSF_ERRS))
     e.set_defaults(fn=_cmd_test)
 
     b = sub.add_parser("bench", help="throughput microbenchmark")

@@ -11,6 +11,7 @@ so the reference's figure notebooks can consume them unchanged.
 """
 
 from galaxy_deconv_tpu.eval.harness import (
+    DEFAULT_PSF_ERRS,
     median_ellipticity_error,
     run_psf_error_test,
     run_psnr_test,
@@ -19,6 +20,7 @@ from galaxy_deconv_tpu.eval.harness import (
 )
 
 __all__ = [
+    "DEFAULT_PSF_ERRS",
     "median_ellipticity_error",
     "run_psf_error_test",
     "run_psnr_test",

@@ -18,6 +18,11 @@ from galaxy_deconv_tpu.models import build_model
 
 logger = logging.getLogger("galaxy_deconv_tpu.eval")
 
+# the benchmark's PSF-systematics sweep levels (reference generate_data.py
+# perturbed sets); shared by the dataset generator defaults, the benchmark
+# runner, and the figure scripts so they stay in lockstep
+DEFAULT_PSF_ERRS = (0.003, 0.005, 0.01, 0.02, 0.03, 0.05, 0.07, 0.1, 0.15, 0.2)
+
 
 def _load_results(path: pathlib.Path) -> dict:
     try:
@@ -148,6 +153,9 @@ def run_time_test(
     (reference test.py:110-192; warm-up runs compile the graphs first)."""
     apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
     ds = GalaxyDataset(data_root, "test")
+    # time whole batches only: a ragged tail would be padded and computed at
+    # full batch cost but not counted, skewing time/gal
+    n_gal = max(batch_size, (min(n_gal, len(ds)) // batch_size) * batch_size)
     for _ in range(warmup):
         _batched_rec_shear(apply_fn, ds, min(batch_size, n_gal), batch_size, method, mesh)
     t0 = time.time()

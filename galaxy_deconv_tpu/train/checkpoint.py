@@ -40,6 +40,30 @@ def restore_checkpoint(save_path, model_name: str, epoch: int, template: Optiona
     return restored
 
 
+def unpack_variables(state) -> dict:
+    """Restored checkpoint (TrainState or orbax dict) -> flax variables dict.
+
+    Tolerates checkpoints without BN statistics (BN-free models save an
+    empty/absent batch_stats collection).
+    """
+    params = state["params"] if isinstance(state, dict) else state.params
+    stats = state.get("batch_stats") if isinstance(state, dict) else state.batch_stats
+    return {"params": params, "batch_stats": stats} if stats else {"params": params}
+
+
+def best_epoch(save_path, model_name: str) -> int:
+    """Best-validation epoch recorded by ``fit_online``'s history file,
+    falling back to :func:`latest_epoch` when no history exists."""
+    hist = pathlib.Path(save_path) / f"{model_name}_history.json"
+    if hist.exists():
+        import json
+
+        best = json.loads(hist.read_text()).get("best_step", 0)
+        if best and _ckpt_dir(save_path, model_name, best).exists():
+            return best
+    return latest_epoch(save_path, model_name)
+
+
 def latest_epoch(save_path, model_name: str) -> int:
     """Highest saved epoch for a run name, 0 if none."""
     root = pathlib.Path(save_path)

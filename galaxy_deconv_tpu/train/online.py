@@ -126,7 +126,7 @@ def fit_online(
     key = jax.random.PRNGKey(seed)
     val_keys = [jax.random.fold_in(jax.random.PRNGKey(seed + 777), i) for i in range(val_batches)]
 
-    history = {"step": [], "train_loss": [], "val_loss": []}
+    history = {"step": [], "train_loss": [], "val_loss": [], "best_step": 0}
     best_val = float("inf")
     window = []
     t0 = time.time()
@@ -142,10 +142,20 @@ def fit_online(
             history["train_loss"].append(float(np.mean(window[-val_every:])))
             history["val_loss"].append(val)
             logger.info("step %d: val=%.5g", i + 1, val)
-            if save_path and val < best_val:
+            if val < best_val:
                 best_val = val
-                save_checkpoint(save_path, model_name, i + 1, state)
+                history["best_step"] = i + 1
+                if save_path:
+                    save_checkpoint(save_path, model_name, i + 1, state)
         if save_path and save_every and (i + 1) % save_every == 0:
             save_checkpoint(save_path, model_name, i + 1, state)
     history["galaxies_per_sec"] = n_steps * batch_size / (time.time() - t0)
+    if save_path:
+        # records which checkpoint is the best-val one (consumed by
+        # checkpoint.best_epoch / scripts/export_trained.py)
+        import json
+        import pathlib
+
+        with open(pathlib.Path(save_path) / f"{model_name}_history.json", "w") as f:
+            json.dump(history, f)
     return state, history

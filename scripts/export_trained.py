@@ -1,7 +1,8 @@
 """Export best checkpoints into the committed ``trained/`` zoo.
 
-Copies the latest (= best-val, since fit_online saves on new-best) orbax
-checkpoint for each run from the scratch checkpoint directory into
+Copies the best-validation checkpoint for each run (recorded by
+fit_online's history file; latest when no history exists) from the
+scratch checkpoint directory into
 ``trained/``, dropping the optimizer state so the committed artifacts stay
 small (params + BN stats are all that inference needs).
 
@@ -29,7 +30,7 @@ def main():
     import numpy as np
     import orbax.checkpoint as ocp
 
-    from galaxy_deconv_tpu.train.checkpoint import latest_epoch, restore_checkpoint
+    from galaxy_deconv_tpu.train.checkpoint import best_epoch, restore_checkpoint, unpack_variables
 
     src = pathlib.Path(args.src)
     pat = re.compile(r"^(?P<name>.+)_(?P<epoch>\d+)epochs$")
@@ -40,15 +41,14 @@ def main():
     dst = pathlib.Path(args.dst).resolve()
     dst.mkdir(exist_ok=True)
     for name in runs:
-        ep = latest_epoch(src, name)
+        ep = best_epoch(src, name)
         if not ep:
             print(f"skip {name}: no checkpoints")
             continue
         st = restore_checkpoint(src, name, ep)
-        params = st["params"] if isinstance(st, dict) else st.params
-        stats = st["batch_stats"] if isinstance(st, dict) else st.batch_stats
-        slim = {"params": jax.tree.map(np.asarray, params),
-                "batch_stats": jax.tree.map(np.asarray, stats) if stats else {}}
+        v = unpack_variables(st)
+        slim = {"params": jax.tree.map(np.asarray, v["params"]),
+                "batch_stats": jax.tree.map(np.asarray, v.get("batch_stats", {}))}
         out = dst / f"{name}_{ep}epochs"
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(out, slim, force=True)

@@ -48,8 +48,9 @@ def main():
     out = pathlib.Path(args.out)
     out.mkdir(exist_ok=True)
     result = pathlib.Path(args.result)
+    from galaxy_deconv_tpu.eval import DEFAULT_PSF_ERRS as errs
+
     methods = sorted(p.name for p in result.iterdir() if (p / "results.json").exists())
-    errs = (0.003, 0.005, 0.01, 0.02, 0.03, 0.05, 0.07, 0.1, 0.15, 0.2)
 
     plot_error_vs_snr(result, methods, save_to=out / "error_snr.png")
     plot_error_vs_time(result, methods, snr=args.snr, save_to=out / "error_time.png")
@@ -67,33 +68,30 @@ def main():
 
     from galaxy_deconv_tpu.analysis import plot_admm_trace, plot_reconstruction_grid
     from galaxy_deconv_tpu.data import GalaxyDataset
-    from galaxy_deconv_tpu.models import UnrolledADMMGaussian
-    from galaxy_deconv_tpu.train.checkpoint import latest_epoch, restore_checkpoint
+    from galaxy_deconv_tpu.models import build_model
+    from galaxy_deconv_tpu.train.checkpoint import latest_epoch, restore_checkpoint, unpack_variables
 
     name = "Gaussian_PnP_ADMM_8iters_MultiScale"
     ep = latest_epoch(args.ckpt, name)
     if not ep or not pathlib.Path(args.data).exists():
         print("no checkpoint/dataset — skipping gallery + trace figures")
         return
-    st = restore_checkpoint(args.ckpt, name, ep)
-    params = st["params"] if isinstance(st, dict) else st.params
-    stats = st.get("batch_stats") if isinstance(st, dict) else st.batch_stats
-    variables = {"params": params, "batch_stats": stats} if stats else {"params": params}
+    variables = unpack_variables(restore_checkpoint(args.ckpt, name, ep))
 
     ds = GalaxyDataset(args.data, "test", obs_variant=f"obs_{args.snr}")
     b = ds.batch(np.arange(6))
     obs, psf = jnp.asarray(b["obs"]), jnp.asarray(b["psf"])
     alpha = jnp.asarray(b["alpha"])
 
-    model = UnrolledADMMGaussian(n_iters=8, features=(32, 64, 128, 256))
-    rec = model.apply(variables, obs, psf, alpha)
+    # one analysis-mode run supplies both figures: the final-iteration z IS
+    # the model output (unrolled_admm_gaussian returns z_list[-1])
+    traced = build_model("Unrolled_ADMM_Gaussian(8)", analysis=True)
+    traces = traced.apply(variables, obs, psf, alpha)
+    rec = traces["z"][:, -1]
     plot_reconstruction_grid(
         {"observed": np.asarray(obs), "ADMM(8)": np.asarray(rec), "ground truth": b["gt"]},
         save_to=out / "gallery.png",
     )
-
-    traced = UnrolledADMMGaussian(n_iters=8, features=(32, 64, 128, 256), analysis=True)
-    traces = traced.apply(variables, obs, psf, alpha)
     plot_admm_trace(traces, sample=0, save_to=out / "admm_trace.png")
     print(f"model figures -> {out}")
 

@@ -52,8 +52,8 @@ def main():
     logging.basicConfig(level=logging.INFO)
 
     from galaxy_deconv_tpu.analysis import summarize_results
-    from galaxy_deconv_tpu.eval import run_psf_error_test, run_shear_test, run_time_test
-    from galaxy_deconv_tpu.train.checkpoint import latest_epoch, restore_checkpoint
+    from galaxy_deconv_tpu.eval import DEFAULT_PSF_ERRS, run_psf_error_test, run_shear_test, run_time_test
+    from galaxy_deconv_tpu.train.checkpoint import best_epoch, restore_checkpoint, unpack_variables
 
     snrs = (20, 40, 60, 80, 100, 150, 200)
     methods: dict[str, dict] = {
@@ -80,26 +80,24 @@ def main():
 
     # this framework's trained models (whatever checkpoints exist)
     for result_name, (build_name, ckpt_name) in TRAINED_SPECS.items():
-        ep = latest_epoch(args.ckpt, ckpt_name)
+        ep = best_epoch(args.ckpt, ckpt_name)
         if result_name == "Unrolled_ADMM_Gaussian(8)" and args.admm8_epoch:
             ep = args.admm8_epoch
         if not ep:
             continue
         st = restore_checkpoint(args.ckpt, ckpt_name, ep)
-        params = st["params"] if isinstance(st, dict) else st.params
-        stats = st["batch_stats"] if isinstance(st, dict) else st.batch_stats
         methods[result_name] = {
-            "variables": {"params": params, "batch_stats": stats},
+            "variables": unpack_variables(st),
             "build_name": build_name,
         }
         print(f"loaded {result_name} from {ckpt_name} step {ep}")
 
     # ADMMNet: the frozen-denoiser ablation — plugs the separately trained
     # ResUNet denoiser (reference models/ADMMNet.py:51-58 training style)
-    ep = latest_epoch(args.ckpt, "ResUNet_MultiScale")
+    ep = best_epoch(args.ckpt, "ResUNet_MultiScale")
     if ep:
         st = restore_checkpoint(args.ckpt, "ResUNet_MultiScale", ep)
-        params = st["params"] if isinstance(st, dict) else st.params
+        params = unpack_variables(st)["params"]
         methods["ADMMNet"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
                               "build_name": "ADMMNet"}
         print(f"assembled ADMMNet from ResUNet_MultiScale step {ep}")
@@ -117,7 +115,7 @@ def main():
                           batch_size=args.batch, warmup=1, result_name=method, **kw)
 
     if not args.skip_psf:
-        errs = (0.003, 0.005, 0.01, 0.02, 0.03, 0.05, 0.07, 0.1, 0.15, 0.2)
+        errs = DEFAULT_PSF_ERRS
         for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Tikhonet_Laplacian"):
             if method in methods:
                 kw = dict(methods[method])

@@ -126,7 +126,12 @@ class TestHarness:
         assert elapsed > 0
         with open(tmp_path / "No_Deconv" / "results.json") as f:
             res = json.load(f)
-        assert res["time"][1] == 12
+        # timing covers whole batches only (a padded ragged tail would
+        # inflate time/gal), so 12 requested -> 8 timed at batch_size 8
+        assert res["time"][1] == 8
+        run_time_test("No_Deconv", root, tmp_path, n_gal=12, batch_size=4, warmup=1)
+        with open(tmp_path / "No_Deconv" / "results.json") as f:
+            assert json.load(f)["time"][1] == 12
 
     def test_psf_error_test(self, root, tmp_path):
         res = run_psf_error_test(
