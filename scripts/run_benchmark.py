@@ -127,14 +127,23 @@ def main():
 
     table = summarize_results(args.result, list(methods), snrs)
     out = pathlib.Path("RESULTS.md")
-    header = (
-        "# RESULTS — TPU framework benchmark\n\n"
-        f"Simulated LSST benchmark (JAX-native pipeline), {args.n_gal} test galaxies/SNR,\n"
-        "median ellipticity error = median min(|g_rec - g_gt|, 1) on the |g| component\n"
-        "(gt_shear measured on noiseless gt stamps, same estimator).  Timing is the\n"
-        "full batched deconvolve+measure pipeline per galaxy on one TPU v5e chip.\n\n"
-    )
-    out.write_text(header + table + "\n\nReference baselines: see BASELINE.md.\n")
+    START, END = "<!-- BENCHMARK TABLE START -->", "<!-- BENCHMARK TABLE END -->"
+    block = f"{START}\n{table}\n{END}"
+    if out.exists() and START in out.read_text():
+        # refresh only the marked table; hand-written sections survive
+        text = out.read_text()
+        pre, rest = text.split(START, 1)
+        _, post = rest.split(END, 1)
+        out.write_text(pre + block + post)
+    else:
+        header = (
+            "# RESULTS — TPU framework benchmark\n\n"
+            f"Simulated LSST benchmark (JAX-native pipeline), {args.n_gal} test galaxies/SNR,\n"
+            "median ellipticity error = median min(|g_rec - g_gt|, 1) on the |g| component\n"
+            "(gt_shear measured on noiseless gt stamps, same estimator).  Timing is the\n"
+            "full batched deconvolve+measure pipeline per galaxy on one TPU v5e chip.\n\n"
+        )
+        out.write_text(header + block + "\n\nReference baselines: see BASELINE.md.\n")
     print(table)
     print("wrote RESULTS.md")
 
