@@ -16,6 +16,8 @@ from galaxy_deconv_tpu.analysis.report import (
     plot_psf_error,
     plot_reconstruction_grid,
     plot_admm_trace,
+    psf_error_table,
+    summarize_psf_results,
     summarize_results,
 )
 
@@ -28,5 +30,7 @@ __all__ = [
     "plot_psf_error",
     "plot_reconstruction_grid",
     "plot_admm_trace",
+    "psf_error_table",
+    "summarize_psf_results",
     "summarize_results",
 ]

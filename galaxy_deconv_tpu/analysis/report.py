@@ -74,6 +74,44 @@ def summarize_results(result_path, methods: Sequence[str], snrs=(20, 40, 60, 80,
     return "\n".join(lines)
 
 
+def psf_error_table(
+    result_path,
+    methods: Sequence[str],
+    errs: Sequence[float],
+    kind: str = "shear",
+    gt_method: str = "No_Deconv",
+    gt_snr: int = 100,
+) -> dict:
+    """Per-method median-ellipticity-error rows vs systematic PSF error
+    (the reference's figures/psf_error.ipynb metric, tabulated)."""
+    gt = load_method_results(result_path, gt_method)[str(gt_snr)]["gt_shear"]
+    table = {}
+    for m in methods:
+        try:
+            res = load_method_results(result_path, m, f"results_psf_{kind}_err.json")
+        except FileNotFoundError:
+            continue
+        table[m] = {e: _median_err(res[str(e)]["rec_shear"], gt) for e in errs if str(e) in res}
+    return table
+
+
+def summarize_psf_results(
+    result_path,
+    methods: Sequence[str],
+    errs: Sequence[float],
+    kind: str = "shear",
+) -> str:
+    """Markdown table of the PSF-robustness sweep (methods with results only)."""
+    table = psf_error_table(result_path, methods, errs, kind=kind)
+    header = f"| Method | " + " | ".join(str(e) for e in errs) + " |"
+    sep = "|---" * (len(errs) + 1) + "|"
+    lines = [header, sep]
+    for m, row in table.items():
+        cells = [f"{row[e]:.4f}" if e in row else "—" for e in errs]
+        lines.append(f"| {m} | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
 def plot_loss(train_loss, val_loss, epoch_min: int, save_path, model_name: str):
     """Loss curves (reference utils/utils_plot.py:62-75)."""
     import matplotlib

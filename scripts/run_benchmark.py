@@ -51,7 +51,7 @@ def main():
 
     logging.basicConfig(level=logging.INFO)
 
-    from galaxy_deconv_tpu.analysis import summarize_results
+    from galaxy_deconv_tpu.analysis import summarize_psf_results, summarize_results
     from galaxy_deconv_tpu.eval import DEFAULT_PSF_ERRS, run_psf_error_test, run_shear_test, run_time_test
     from galaxy_deconv_tpu.train.checkpoint import best_epoch, restore_checkpoint, unpack_variables
 
@@ -116,7 +116,8 @@ def main():
 
     if not args.skip_psf:
         errs = DEFAULT_PSF_ERRS
-        for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Tikhonet_Laplacian"):
+        for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Tikhonet_Laplacian",
+                       "Tikhonet_Laplacian_tpu", "ShapeNet_tpu", "Unrolled_ADMM_Poisson(8)"):
             if method in methods:
                 kw = dict(methods[method])
                 build_name = kw.pop("build_name", method)
@@ -125,17 +126,24 @@ def main():
                                        n_gal=args.n_gal, batch_size=args.batch,
                                        result_name=method, **kw)
 
+    def replace_block(out: pathlib.Path, tag: str, content: str) -> bool:
+        start, end = f"<!-- {tag} START -->", f"<!-- {tag} END -->"
+        if not (out.exists() and start in out.read_text()):
+            return False
+        text = out.read_text()
+        pre, rest = text.split(start, 1)
+        _, post = rest.split(end, 1)
+        out.write_text(pre + f"{start}\n{content}\n{end}" + post)
+        return True
+
     table = summarize_results(args.result, list(methods), snrs)
     out = pathlib.Path("RESULTS.md")
-    START, END = "<!-- BENCHMARK TABLE START -->", "<!-- BENCHMARK TABLE END -->"
-    block = f"{START}\n{table}\n{END}"
-    if out.exists() and START in out.read_text():
-        # refresh only the marked table; hand-written sections survive
-        text = out.read_text()
-        pre, rest = text.split(START, 1)
-        _, post = rest.split(END, 1)
-        out.write_text(pre + block + post)
-    else:
+    for kind in ("shear", "fwhm"):
+        psf_table = summarize_psf_results(args.result, list(methods), DEFAULT_PSF_ERRS, kind=kind)
+        if not replace_block(out, f"PSF {kind.upper()} TABLE", psf_table):
+            print(f"(no PSF {kind.upper()} TABLE markers in RESULTS.md; table printed below)\n{psf_table}")
+    if not replace_block(out, "BENCHMARK TABLE", table):
+        block = f"<!-- BENCHMARK TABLE START -->\n{table}\n<!-- BENCHMARK TABLE END -->"
         header = (
             "# RESULTS — TPU framework benchmark\n\n"
             f"Simulated LSST benchmark (JAX-native pipeline), {args.n_gal} test galaxies/SNR,\n"

@@ -34,6 +34,11 @@ def main():
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--save_path", default="saved_models_online")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--init_from", default=None,
+        help="checkpoint dir ({params, batch_stats} pytree, e.g. trained/<run>_<N>epochs) "
+             "to warm-start the FIRST model in --models (continuation training)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -68,10 +73,20 @@ def main():
         sample["alpha"] = sample["obs"].mean(axis=(1, 2))
         optimizer = default_optimizer(args.lr, schedule="cosine", total_steps=args.steps)
         state, optimizer = create_train_state(model, jax.random.PRNGKey(0), sample, optimizer)
+        if args.init_from and key == args.models[0]:
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                warm = ckptr.restore(str(pathlib.Path(args.init_from).resolve()))
+            state = state.replace(
+                params=jax.tree.map(np.asarray, warm["params"]),
+                batch_stats=jax.tree.map(np.asarray, warm.get("batch_stats", state.batch_stats)),
+            )
+            print(f"warm-started {name} from {args.init_from}")
         print(f"=== training {name} for {args.steps} steps ===")
         state, hist = fit_online(
             model, state, optimizer, build_loss(loss_name), n_steps=args.steps,
-            batch_size=args.batch, sim_cfg=cfg, seed=0, log_every=500, val_every=1000,
+            batch_size=args.batch, sim_cfg=cfg, seed=args.seed, log_every=500, val_every=1000,
             model_name=name, save_path=args.save_path, save_every=args.steps,
             sampler=sampler,
         )
