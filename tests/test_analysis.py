@@ -30,6 +30,12 @@ def results_dir(tmp_path_factory, rng):
         res["time"] = [2.0, 50]
         with open(d / "results.json", "w") as f:
             json.dump(res, f)
+        if method == "Richard-Lucy(30)":
+            # PSF-robustness sweep: error grows with the PSF perturbation
+            psf_res = {str(e): {"rec_shear": (gt + rng.normal(0, e, gt.shape)).tolist()}
+                       for e in (0.01, 0.2)}
+            with open(d / "results_psf_shear_err.json", "w") as f:
+                json.dump(psf_res, f)
     return root
 
 
@@ -43,6 +49,17 @@ class TestReport:
         md = summarize_results(results_dir, ["No_Deconv", "Richard-Lucy(30)"], snrs=(20, 100))
         assert md.startswith("| Method |")
         assert "Richard-Lucy(30)" in md
+
+    def test_psf_error_table(self, results_dir):
+        from galaxy_deconv_tpu.analysis import psf_error_table, summarize_psf_results
+
+        t = psf_error_table(results_dir, ["Richard-Lucy(30)", "No_Deconv"], errs=(0.01, 0.2),
+                            kind="shear", gt_snr=100)
+        # No_Deconv has no PSF sweep file -> silently omitted
+        assert list(t) == ["Richard-Lucy(30)"]
+        assert t["Richard-Lucy(30)"][0.01] < t["Richard-Lucy(30)"][0.2]
+        md = summarize_psf_results(results_dir, ["Richard-Lucy(30)"], errs=(0.01, 0.2))
+        assert md.startswith("| Method |") and "0.2" in md.splitlines()[0]
 
     def test_figures_render(self, results_dir, tmp_path):
         plot_error_vs_snr(results_dir, ["No_Deconv", "Richard-Lucy(30)"], snrs=(20, 100),
