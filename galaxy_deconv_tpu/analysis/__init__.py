@@ -18,6 +18,7 @@ from galaxy_deconv_tpu.analysis.report import (
     plot_admm_trace,
     psf_error_table,
     summarize_psf_results,
+    summarize_psnr_results,
     summarize_results,
 )
 
@@ -32,5 +33,6 @@ __all__ = [
     "plot_admm_trace",
     "psf_error_table",
     "summarize_psf_results",
+    "summarize_psnr_results",
     "summarize_results",
 ]

@@ -112,6 +112,28 @@ def summarize_psf_results(
     return "\n".join(lines)
 
 
+def summarize_psnr_results(
+    result_path,
+    methods: Sequence[str],
+    snrs: Sequence[int] = (20, 40, 60, 80, 100, 150, 200),
+    key: str = "psnr_median",
+) -> str:
+    """Markdown table of the reconstruction-quality sweep (run_psnr_test);
+    methods without PSNR entries are omitted."""
+    header = "| Method | " + " | ".join(f"SNR {s}" for s in snrs) + " |"
+    lines = [header, "|---" * (len(snrs) + 1) + "|"]
+    for m in methods:
+        try:
+            res = load_method_results(result_path, m)
+        except FileNotFoundError:
+            continue
+        if not any(key in res.get(str(s), {}) for s in snrs):
+            continue
+        cells = [f"{res[str(s)][key]:.2f}" if key in res.get(str(s), {}) else "—" for s in snrs]
+        lines.append(f"| {m} | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
 def plot_loss(train_loss, val_loss, epoch_min: int, save_path, model_name: str):
     """Loss curves (reference utils/utils_plot.py:62-75)."""
     import matplotlib

@@ -44,6 +44,7 @@ def main():
     parser.add_argument("--admm8_epoch", type=int, default=0, help="0 = latest")
     parser.add_argument("--skip_time", action="store_true")
     parser.add_argument("--skip_psf", action="store_true")
+    parser.add_argument("--skip_psnr", action="store_true")
     parser.add_argument("--only", nargs="*", default=None, help="restrict to these result names")
     args = parser.parse_args()
 
@@ -51,8 +52,14 @@ def main():
 
     logging.basicConfig(level=logging.INFO)
 
-    from galaxy_deconv_tpu.analysis import summarize_psf_results, summarize_results
-    from galaxy_deconv_tpu.eval import DEFAULT_PSF_ERRS, run_psf_error_test, run_shear_test, run_time_test
+    from galaxy_deconv_tpu.analysis import summarize_psf_results, summarize_psnr_results, summarize_results
+    from galaxy_deconv_tpu.eval import (
+        DEFAULT_PSF_ERRS,
+        run_psf_error_test,
+        run_psnr_test,
+        run_shear_test,
+        run_time_test,
+    )
     from galaxy_deconv_tpu.train.checkpoint import best_epoch, restore_checkpoint, unpack_variables
 
     snrs = (20, 40, 60, 80, 100, 150, 200)
@@ -113,6 +120,9 @@ def main():
         if not args.skip_time:
             run_time_test(build_name, args.data, args.result, n_gal=args.n_gal,
                           batch_size=args.batch, warmup=1, result_name=method, **kw)
+        if not args.skip_psnr and method != "FPFS":  # FPFS reconstructs nothing
+            run_psnr_test(build_name, args.data, args.result, snrs=snrs, n_gal=args.n_gal,
+                          batch_size=args.batch, result_name=method, **kw)
 
     if not args.skip_psf:
         errs = DEFAULT_PSF_ERRS
@@ -142,6 +152,9 @@ def main():
         psf_table = summarize_psf_results(args.result, list(methods), DEFAULT_PSF_ERRS, kind=kind)
         if not replace_block(out, f"PSF {kind.upper()} TABLE", psf_table):
             print(f"(no PSF {kind.upper()} TABLE markers in RESULTS.md; table printed below)\n{psf_table}")
+    psnr_table = summarize_psnr_results(args.result, list(methods), snrs)
+    if not replace_block(out, "PSNR TABLE", psnr_table):
+        print(f"(no PSNR TABLE markers in RESULTS.md; table printed below)\n{psnr_table}")
     if not replace_block(out, "BENCHMARK TABLE", table):
         block = f"<!-- BENCHMARK TABLE START -->\n{table}\n<!-- BENCHMARK TABLE END -->"
         header = (
