@@ -76,6 +76,7 @@ def _cmd_train(ns):
             model, state, optimizer, loss_fn,
             n_steps=ns.n_steps, batch_size=cfg.batch_size, sim_cfg=sim_cfg, seed=cfg.seed,
             model_name=model_name, save_path=cfg.model_save_path, sampler=sampler,
+            steps_per_call=ns.steps_per_call,
         )
         if hist["train_loss"]:
             print(f"final train_loss={hist['train_loss'][-1]:.5g} val_loss={hist['val_loss'][-1]:.5g} "
@@ -177,6 +178,8 @@ def main(argv=None):
     t.add_argument("--online", action="store_true",
                    help="fuse on-device simulation into the train step (no dataset)")
     t.add_argument("--n_steps", type=int, default=25000, help="steps for --online mode")
+    t.add_argument("--steps_per_call", type=int, default=10,
+                   help="train steps fused into one lax.scan'd XLA call (--online mode)")
     t.set_defaults(fn=_cmd_train)
 
     e = sub.add_parser("test", help="evaluation sweeps")

@@ -29,20 +29,16 @@ from galaxy_deconv_tpu.train.state import TrainState
 logger = logging.getLogger("galaxy_deconv_tpu.train.online")
 
 
-def make_online_train_step(
+def _online_step_body(
     model,
     loss_fn: Callable,
     optimizer,
     batch_size: int,
-    sim_cfg: sim.SimulationConfig = sim.SimulationConfig(),
-    donate: bool = True,
-    sampler: Callable = sim.simulate_batch,
+    sim_cfg: sim.SimulationConfig,
+    sampler: Callable,
 ):
-    """(state, key) -> (state, loss): render a fresh batch and train on it.
-
-    ``sampler``: simulate_batch (deconvolution task, default) or
-    simulate_batch_denoise (denoiser pre-training).
-    """
+    """Un-jitted (state, key) -> (state, loss) body shared by the one-step
+    and scanned trainers."""
 
     def step(state: TrainState, key: jax.Array):
         batch = sampler(key, batch_size, sim_cfg)
@@ -79,7 +75,50 @@ def make_online_train_step(
             loss,
         )
 
+    return step
+
+
+def make_online_train_step(
+    model,
+    loss_fn: Callable,
+    optimizer,
+    batch_size: int,
+    sim_cfg: sim.SimulationConfig = sim.SimulationConfig(),
+    donate: bool = True,
+    sampler: Callable = sim.simulate_batch,
+):
+    """(state, key) -> (state, loss): render a fresh batch and train on it.
+
+    ``sampler``: simulate_batch (deconvolution task, default) or
+    simulate_batch_denoise (denoiser pre-training).
+    """
+    step = _online_step_body(model, loss_fn, optimizer, batch_size, sim_cfg, sampler)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_online_train_scan(
+    model,
+    loss_fn: Callable,
+    optimizer,
+    batch_size: int,
+    steps_per_call: int,
+    sim_cfg: sim.SimulationConfig = sim.SimulationConfig(),
+    sampler: Callable = sim.simulate_batch,
+):
+    """(state, keys[steps_per_call]) -> (state, losses[steps_per_call]).
+
+    Fuses ``steps_per_call`` full train steps (simulation included) into ONE
+    XLA program via lax.scan.  At small batch sizes the per-step dispatch
+    over the host<->TPU link dominates wall-clock; scanning amortizes it so
+    the chip stays busy back-to-back.  Semantically identical to calling
+    :func:`make_online_train_step` ``steps_per_call`` times.
+    """
+    step = _online_step_body(model, loss_fn, optimizer, batch_size, sim_cfg, sampler)
+
+    def scan_steps(state: TrainState, keys: jax.Array):
+        return jax.lax.scan(step, state, keys)
+
+    return jax.jit(scan_steps, donate_argnums=(0,))
 
 
 def make_online_eval_step(model, loss_fn: Callable, batch_size: int, sim_cfg=sim.SimulationConfig(),
@@ -114,13 +153,29 @@ def fit_online(
     save_path: Optional[str] = None,
     save_every: int = 5000,
     sampler: Callable = sim.simulate_batch,
+    steps_per_call: int = 1,
 ):
     """Online training loop.  Validation uses fixed held-out keys (the same
     simulated galaxies every time), so val losses are comparable across the
-    run.  Returns (state, history)."""
+    run.  Returns (state, history).
+
+    ``steps_per_call > 1`` fuses that many steps into one lax.scan'd XLA
+    call (same data/update sequence; losses still recorded per step) —
+    log/val/save cadences snap to multiples of it.
+    """
     from galaxy_deconv_tpu.train.checkpoint import save_checkpoint
 
-    train_step = make_online_train_step(model, loss_fn, optimizer, batch_size, sim_cfg, sampler=sampler)
+    k = max(1, steps_per_call)
+    if k > 1:
+        # snap cadences (and the step budget) to whole fused calls
+        log_every, val_every, save_every, n_steps = (
+            max(k, k * (v // k)) if v else v
+            for v in (log_every, val_every, save_every, n_steps)
+        )
+        train_scan = make_online_train_scan(model, loss_fn, optimizer, batch_size, k,
+                                            sim_cfg, sampler=sampler)
+    else:
+        train_step = make_online_train_step(model, loss_fn, optimizer, batch_size, sim_cfg, sampler=sampler)
     eval_step = make_online_eval_step(model, loss_fn, batch_size, sim_cfg, sampler=sampler)
 
     key = jax.random.PRNGKey(seed)
@@ -130,14 +185,21 @@ def fit_online(
     best_val = float("inf")
     window = []
     t0 = time.time()
-    for i in range(n_steps):
-        state, loss = train_step(state, jax.random.fold_in(key, i))
-        window.append(float(loss))
+    for i in range(0, n_steps, k) if k > 1 else range(n_steps):
+        if k > 1:
+            keys = jnp.stack([jax.random.fold_in(key, i + j) for j in range(k)])
+            state, losses = train_scan(state, keys)
+            window.extend(np.asarray(losses, np.float32).tolist())
+            i = i + k - 1  # cadence checks below fire on the last fused step
+            loss = window[-1]
+        else:
+            state, loss = train_step(state, jax.random.fold_in(key, i))
+            window.append(float(loss))
         if log_every and (i + 1) % log_every == 0:
             rate = (i + 1) * batch_size / (time.time() - t0)
             logger.info("step %d: train=%.5g (%.0f gal/s)", i + 1, np.mean(window[-log_every:]), rate)
         if val_every and (i + 1) % val_every == 0:
-            val = float(np.mean([float(eval_step(state, k)) for k in val_keys]))
+            val = float(np.mean([float(eval_step(state, vk)) for vk in val_keys]))
             history["step"].append(i + 1)
             history["train_loss"].append(float(np.mean(window[-val_every:])))
             history["val_loss"].append(val)
@@ -149,7 +211,7 @@ def fit_online(
                     save_checkpoint(save_path, model_name, i + 1, state)
         if save_path and save_every and (i + 1) % save_every == 0:
             save_checkpoint(save_path, model_name, i + 1, state)
-    history["galaxies_per_sec"] = n_steps * batch_size / (time.time() - t0)
+    history["galaxies_per_sec"] = len(window) * batch_size / (time.time() - t0)
     if save_path:
         # records which checkpoint is the best-val one (consumed by
         # checkpoint.best_epoch / scripts/export_trained.py)

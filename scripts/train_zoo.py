@@ -35,6 +35,8 @@ def main():
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--save_path", default="saved_models_online")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--steps_per_call", type=int, default=10,
+                        help="train steps fused into one lax.scan'd XLA call")
     parser.add_argument(
         "--init_from", default=None,
         help="checkpoint dir ({params, batch_stats} pytree, e.g. trained/<run>_<N>epochs) "
@@ -88,7 +90,7 @@ def main():
             model, state, optimizer, build_loss(loss_name), n_steps=args.steps,
             batch_size=args.batch, sim_cfg=cfg, seed=args.seed, log_every=500, val_every=1000,
             model_name=name, save_path=args.save_path, save_every=args.steps,
-            sampler=sampler,
+            sampler=sampler, steps_per_call=args.steps_per_call,
         )
         print(f"{name}: final val={hist['val_loss'][-1]:.5g} best={min(hist['val_loss']):.5g} "
               f"({hist['galaxies_per_sec']:.0f} gal/s)")

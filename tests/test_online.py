@@ -47,6 +47,52 @@ class TestOnlineTraining:
         assert np.isfinite(losses).all()
         assert int(state.step) == 6
 
+    def test_scan_matches_sequential_steps(self):
+        """k fused (lax.scan) steps == k one-step calls: same params, same losses."""
+        from galaxy_deconv_tpu.data.simulate import simulate_batch
+        from galaxy_deconv_tpu.train.online import make_online_train_scan
+
+        import optax
+
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        batch = jax.tree.map(np.asarray, simulate_batch(jax.random.PRNGKey(0), 2, CFG))
+        batch["alpha"] = batch["obs"].mean(axis=(1, 2))
+        # SGD, not Adam: Adam's 1/sqrt(v) chaotically amplifies the float
+        # noise from scan-vs-sequential fusion differences, making a param
+        # comparison meaningless; under SGD params stay float-noise close.
+        state0, opt = create_train_state(model, jax.random.PRNGKey(0), batch, optax.sgd(1e-5))
+
+        keys = [jax.random.fold_in(jax.random.PRNGKey(2), i) for i in range(4)]
+        step = make_online_train_step(model, MultiScaleLoss(), opt, batch_size=4, sim_cfg=CFG, donate=False)
+        seq_state, seq_losses = state0, []
+        for kk in keys:
+            seq_state, loss = step(seq_state, kk)
+            seq_losses.append(float(loss))
+
+        scan = make_online_train_scan(model, MultiScaleLoss(), opt, batch_size=4,
+                                      steps_per_call=4, sim_cfg=CFG)
+        scan_state, scan_losses = scan(state0, jax.numpy.stack(keys))
+        np.testing.assert_allclose(np.asarray(scan_losses), seq_losses, rtol=1e-3)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+                     seq_state.params, scan_state.params)
+        assert int(scan_state.step) == 4
+
+    def test_fit_online_steps_per_call(self, tmp_path):
+        from galaxy_deconv_tpu.train.online import fit_online
+
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        from galaxy_deconv_tpu.data.simulate import simulate_batch
+
+        batch = jax.tree.map(np.asarray, simulate_batch(jax.random.PRNGKey(0), 2, CFG))
+        batch["alpha"] = batch["obs"].mean(axis=(1, 2))
+        state, opt = create_train_state(model, jax.random.PRNGKey(0), batch, default_optimizer(1e-3))
+        state, hist = fit_online(model, state, opt, MultiScaleLoss(), n_steps=8, batch_size=4,
+                                 sim_cfg=CFG, log_every=4, val_every=4, val_batches=1,
+                                 model_name="m", save_path=str(tmp_path), steps_per_call=4)
+        assert int(state.step) == 8
+        assert len(hist["val_loss"]) == 2 and np.isfinite(hist["val_loss"]).all()
+        assert hist["galaxies_per_sec"] > 0
+
     def test_eval_step_deterministic(self):
         model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
         from galaxy_deconv_tpu.data.simulate import simulate_batch
