@@ -92,8 +92,9 @@ def main():
             model_name=name, save_path=args.save_path, save_every=args.steps,
             sampler=sampler, steps_per_call=args.steps_per_call,
         )
-        print(f"{name}: final val={hist['val_loss'][-1]:.5g} best={min(hist['val_loss']):.5g} "
-              f"({hist['galaxies_per_sec']:.0f} gal/s)")
+        val = hist["val_loss"]
+        summary = f"final val={val[-1]:.5g} best={min(val):.5g}" if val else "no val evals (steps < val_every)"
+        print(f"{name}: {summary} ({hist['galaxies_per_sec']:.0f} gal/s)")
 
 
 if __name__ == "__main__":
