@@ -111,3 +111,18 @@ class TestDataParallelTraining:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
+
+
+def test_multiprocess_dp_training():
+    """True 2-process distributed DP training (gloo over localhost = the
+    N>=2-hosts leg): per-process local feeding must reproduce the
+    single-process run exactly.  Runs scripts/multihost_smoke.py, which
+    spawns its own worker subprocesses."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).resolve().parent.parent / "scripts" / "multihost_smoke.py"
+    r = subprocess.run([sys.executable, str(script)], capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:] + r.stdout[-500:]
+    assert "losses match single-process run" in r.stdout
