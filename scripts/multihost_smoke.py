@@ -21,11 +21,14 @@ Usage: python scripts/multihost_smoke.py           # coordinator: spawns 2 worke
        (workers are re-invocations of this file with _WORKER env vars set)
 """
 
+import ast
 import os
 import pathlib
 import re
+import socket
 import subprocess
 import sys
+import tempfile
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -33,7 +36,18 @@ N_PROC = 2
 DEVICES_PER_PROC = 4
 GLOBAL_BATCH = 16
 STEPS = 3
-PORT = 12123
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _parse_losses(text: str, tag: str, context: str) -> list:
+    m = re.search(tag + r" LOSSES (\[[-+.,e\d\s]*\])", text)
+    assert m, f"no '{tag} LOSSES' line in output:\n{context[-2000:]}"
+    return ast.literal_eval(m.group(1))
 
 
 def make_global_batch():
@@ -57,7 +71,7 @@ def build():
 
     model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
     batch = make_global_batch()
-    state, opt = create_train_state(model, jax.random.PRNGKey(0), batch, opt := default_optimizer(1e-3))
+    state, opt = create_train_state(model, jax.random.PRNGKey(0), batch, default_optimizer(1e-3))
     step = make_train_step(model, MultiScaleLoss(), opt, donate=False)
     return state, step
 
@@ -75,8 +89,9 @@ def worker():
 
     jax.config.update("jax_platforms", "cpu")
     pid = int(os.environ["SMOKE_PROC_ID"])
+    port = int(os.environ["SMOKE_PORT"])
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}", num_processes=N_PROC, process_id=pid
+        coordinator_address=f"localhost:{port}", num_processes=N_PROC, process_id=pid
     )
     assert jax.process_count() == N_PROC, jax.process_count()
     assert len(jax.devices()) == N_PROC * DEVICES_PER_PROC, len(jax.devices())
@@ -111,28 +126,43 @@ def coordinator():
         [sys.executable, __file__, "--single"], env=env, capture_output=True, text=True, timeout=900
     )
     assert ref.returncode == 0, ref.stderr[-2000:]
-    ref_losses = eval(re.search(r"SINGLE LOSSES (\[.*\])", ref.stdout).group(1))
+    ref_losses = _parse_losses(ref.stdout, "SINGLE", ref.stdout + ref.stderr)
 
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
         XLA_FLAGS=f"--xla_force_host_platform_device_count={DEVICES_PER_PROC}",
+        SMOKE_PORT=str(_free_port()),
     )
-    procs = []
-    for pid in range(N_PROC):
-        e = dict(env, SMOKE_PROC_ID=str(pid))
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, __file__, "--worker"], env=e,
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            )
-        )
-    outs = [p.communicate(timeout=900) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-2000:]
-    worker_losses = []
-    for out, _ in outs:
-        worker_losses.append(eval(re.search(r"LOSSES (\[.*\])", out).group(1)))
+    # worker output goes to files, not pipes: no undrained-pipe deadlock while
+    # waiting on the other worker, and logs survive a kill
+    procs, logs = [], []
+    with tempfile.TemporaryDirectory() as tmp:
+        try:
+            for pid in range(N_PROC):
+                log = open(pathlib.Path(tmp) / f"worker{pid}.log", "w+")
+                logs.append(log)
+                procs.append(
+                    subprocess.Popen(
+                        [sys.executable, __file__, "--worker"],
+                        env=dict(env, SMOKE_PROC_ID=str(pid)),
+                        stdout=log, stderr=subprocess.STDOUT, text=True,
+                    )
+                )
+            for p in procs:
+                p.wait(timeout=900)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        worker_losses = []
+        for pid, (p, log) in enumerate(zip(procs, logs)):
+            log.seek(0)
+            out = log.read()
+            log.close()
+            assert p.returncode == 0, out[-2000:]
+            worker_losses.append(_parse_losses(out, f"WORKER{pid}", out))
 
     import numpy as np
 

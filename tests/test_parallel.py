@@ -123,6 +123,8 @@ def test_multiprocess_dp_training():
     import sys
 
     script = pathlib.Path(__file__).resolve().parent.parent / "scripts" / "multihost_smoke.py"
-    r = subprocess.run([sys.executable, str(script)], capture_output=True, text=True, timeout=900)
+    # > sum of the coordinator's inner timeouts, so inner failures surface
+    # with their own context instead of a bare outer TimeoutExpired
+    r = subprocess.run([sys.executable, str(script)], capture_output=True, text=True, timeout=2100)
     assert r.returncode == 0, r.stderr[-2000:] + r.stdout[-500:]
     assert "losses match single-process run" in r.stdout
