@@ -18,6 +18,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 # result-dir name -> (registry build name, checkpoint run name)
 TRAINED_SPECS = {
     "Unrolled_ADMM_Gaussian(8)": ("Unrolled_ADMM_Gaussian(8)", "Gaussian_PnP_ADMM_8iters_MultiScale"),
+    # continuation training of the committed flagship (train_zoo --suffix _cont)
+    "Unrolled_ADMM_Gaussian(8)_cont": ("Unrolled_ADMM_Gaussian(8)", "Gaussian_PnP_ADMM_8iters_MultiScale_cont"),
     "Unrolled_ADMM_Gaussian(4)": ("Unrolled_ADMM_Gaussian(4)", "Gaussian_PnP_ADMM_4iters_MultiScale"),
     "Unrolled_ADMM_Gaussian(2)": ("Unrolled_ADMM_Gaussian(2)", "Gaussian_PnP_ADMM_2iters_MultiScale"),
     "Tikhonet_Laplacian_tpu": ("Tikhonet_Laplacian", "Tikhonet_Laplacian_MultiScale"),
@@ -126,8 +128,9 @@ def main():
 
     if not args.skip_psf:
         errs = DEFAULT_PSF_ERRS
-        for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Tikhonet_Laplacian",
-                       "Tikhonet_Laplacian_tpu", "ShapeNet_tpu", "Unrolled_ADMM_Poisson(8)"):
+        for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Unrolled_ADMM_Gaussian(8)_cont",
+                       "Tikhonet_Laplacian", "Tikhonet_Laplacian_tpu", "ShapeNet_tpu",
+                       "Unrolled_ADMM_Poisson(8)"):
             if method in methods:
                 kw = dict(methods[method])
                 build_name = kw.pop("build_name", method)

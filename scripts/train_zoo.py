@@ -41,6 +41,10 @@ def main():
         "--init_from", default=None,
         help="checkpoint dir ({params, batch_stats} pytree, e.g. trained/<run>_<N>epochs) "
              "to warm-start the FIRST model in --models (continuation training)")
+    parser.add_argument(
+        "--suffix", default="",
+        help="appended to every run name (e.g. _cont), keeping continuation "
+             "checkpoints separate from the original run's")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -57,6 +61,7 @@ def main():
     cfg = SimulationConfig()
     for key in args.models:
         name, kind, kw, loss_name = SPECS[key]
+        name += args.suffix
         if kind == "admm":
             model = UnrolledADMMGaussian(features=(32, 64, 128, 256), **kw)
             sampler = simulate_batch
