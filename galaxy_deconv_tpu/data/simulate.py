@@ -42,6 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from galaxy_deconv_tpu.ops.resize import average_downsample
+
 # ---------------------------------------------------------------------------
 # CCD / sky constants (reference generate_data.py:194-202)
 # ---------------------------------------------------------------------------
@@ -210,19 +212,21 @@ def render_psf(params: dict, cfg: SimulationConfig, g1_err=0.0, g2_err=0.0, fwhm
     n, s = cfg.n_hi, cfg.scale_hi
     NUY, NUX = _freq_grid(n, s)
 
-    # overall error shear: real-space x -> S x  <=>  frequency nu -> S^-T nu;
-    # for the area-preserving shear matrix S^-1 = [[1-g1,-g2],[-g2,1+g1]]*norm.
-    Serr_inv_T = reduced_shear_matrix(-g1_err, -g2_err).T
-    nux = Serr_inv_T[0, 0] * NUX + Serr_inv_T[0, 1] * NUY
-    nuy = Serr_inv_T[1, 0] * NUX + Serr_inv_T[1, 1] * NUY
+    # overall error shear: a profile sheared by S, p_s(x) = p(S^-1 x), has
+    # OTF_s(nu) = OTF(S^T nu) (det S = 1), so sample the base MTF at S^T nu.
+    # reduced_shear_matrix is symmetric, S^T = S; using S(-g) here would
+    # render the PSF sheared by -g (sign verified by the signed-shear test).
+    Serr_T = reduced_shear_matrix(g1_err, g2_err).T
+    nux = Serr_T[0, 0] * NUX + Serr_T[0, 1] * NUY
+    nuy = Serr_T[1, 0] * NUX + Serr_T[1, 1] * NUY
 
     # atmospheric shear (distortion e at angle beta)
     g_atm = distortion_to_g(params["atmos_e"])
     b = params["atmos_beta"]
     ga1, ga2 = g_atm * jnp.cos(2 * b), g_atm * jnp.sin(2 * b)
-    Satm_inv_T = reduced_shear_matrix(-ga1, -ga2).T
-    anux = Satm_inv_T[0, 0] * nux + Satm_inv_T[0, 1] * nuy
-    anuy = Satm_inv_T[1, 0] * nux + Satm_inv_T[1, 1] * nuy
+    Satm_T = reduced_shear_matrix(ga1, ga2).T
+    anux = Satm_T[0, 0] * nux + Satm_T[0, 1] * nuy
+    anuy = Satm_T[1, 0] * nux + Satm_T[1, 1] * nuy
 
     fwhm_val = params["atmos_fwhm"] if fwhm is None else fwhm
     mtf_atm = kolmogorov_mtf(anux, anuy, fwhm_val)
@@ -241,7 +245,9 @@ def render_psf(params: dict, cfg: SimulationConfig, g1_err=0.0, g2_err=0.0, fwhm
     # the same sub-pixel registration.
     fy = jnp.fft.fftfreq(n)[:, None]
     fx = jnp.fft.rfftfreq(n)[None, :]
-    shift = jnp.exp(-2j * jnp.pi * (fy + fx) * 0.5)
+    # shift by -0.5 px on each axis: f(x + 0.5) <-> F(nu) e^{+2 pi i nu 0.5},
+    # moving the fftshift grid point n//2 to the true center (n-1)/2
+    shift = jnp.exp(+2j * jnp.pi * (fy + fx) * 0.5)
     psf = jnp.fft.fftshift(jnp.fft.irfft2(otf * shift, (n, n)))
     psf = jnp.maximum(psf, 0.0)
     return psf / psf.sum()
@@ -377,18 +383,23 @@ def sample_params(key: jax.Array, n: int, cfg: SimulationConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _downsample(x: jnp.ndarray, rate: int) -> jnp.ndarray:
-    H, W = x.shape[-2], x.shape[-1]
-    lead = x.shape[:-2]
-    return x.reshape(*lead, H // rate, rate, W // rate, rate).mean(axis=(-3, -1))
+_downsample = average_downsample
 
 
 def observe(gt_hi: jnp.ndarray, psf_hi: jnp.ndarray, noise: jnp.ndarray, cfg: SimulationConfig):
     """FFT-convolve at high resolution, downsample, add noise
-    (reference generate_data.py:246-257).  Returns (obs, psf, gt) at fov res."""
-    conv = jnp.fft.ifftshift(
-        jnp.fft.irfft2(jnp.fft.rfft2(psf_hi) * jnp.fft.rfft2(gt_hi), gt_hi.shape[-2:]),
-        axes=(-2, -1),
+    (reference generate_data.py:246-257).  Returns (obs, psf, gt) at fov res.
+
+    The PSF stamp is centered at (n-1)/2 (render_psf); dividing out that
+    centering phase before the product makes the circular convolution leave
+    the galaxy's registration untouched, so obs and gt land on identical
+    sub-pixel coordinates (no post-hoc fftshift roll needed)."""
+    n = gt_hi.shape[-1]
+    fy = jnp.fft.fftfreq(n)[:, None]
+    fx = jnp.fft.rfftfreq(n)[None, :]
+    decenter = jnp.exp(+2j * jnp.pi * (fy + fx) * ((n - 1) / 2.0))
+    conv = jnp.fft.irfft2(
+        jnp.fft.rfft2(psf_hi) * decenter * jnp.fft.rfft2(gt_hi), gt_hi.shape[-2:]
     )
     conv = _downsample(conv, cfg.upsample)
     conv = jnp.maximum(conv, 0.0)

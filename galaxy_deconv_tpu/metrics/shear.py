@@ -142,7 +142,11 @@ def fpfs_moments(
 
     norm = 1.0 / (H * W)
     m00 = accum(jnp.real(F) * wq) * norm
-    m22 = accum(F * e2phi * (r2 / 2.0) * wq) * norm
+    # Half-spectrum Hermitian pairing: a (k, -k) pair contributes
+    # (F + conj F) e^{-2i phi} = 2 Re(F) e^{-2i phi}  (phi(-k) = phi(k) + pi,
+    # so e^{-2i phi} is pair-invariant).  Doubling complex F instead would
+    # leak the Im(F) of asymmetric images into both moment components.
+    m22 = accum(jnp.real(F) * e2phi * (r2 / 2.0) * wq) * norm
     m40 = accum(jnp.real(F) * l2 * wq) * norm
     return {
         "M00": m00,

@@ -41,6 +41,32 @@ class TestShearEstimator:
         assert out[1] == pytest.approx(g[1], abs=2e-3)
         assert out[2] == pytest.approx(np.hypot(*g), abs=3e-3)
 
+
+    def test_m22_matches_full_spectrum_on_asymmetric_images(self, rng):
+        """Half-spectrum M22 must equal the full-spectrum shapelet sum even
+        for images with no symmetry (Im F != 0): the Hermitian pairing doubles
+        Re(F), not complex F."""
+        from galaxy_deconv_tpu.metrics.shear import fpfs_moments, weighted_centroid
+
+        img = np.abs(rng.standard_normal((2, 48, 48))).astype(np.float32)
+        m = fpfs_moments(jnp.asarray(img))
+        sigma_arcsec, pix = 0.6, 0.2
+        x = img - img.min(axis=(-2, -1), keepdims=True)
+        c = np.asarray(weighted_centroid(jnp.asarray(x), sigma_px=sigma_arcsec / pix))
+        H, W = img.shape[-2:]
+        ky = 2 * np.pi * np.fft.fftfreq(H)[:, None]
+        kx = 2 * np.pi * np.fft.fftfreq(W)[None, :]
+        KY = 2 * np.pi * np.fft.fftfreq(H, d=pix)[:, None]
+        KX = 2 * np.pi * np.fft.fftfreq(W, d=pix)[None, :]
+        r2 = (KY**2 + KX**2) * sigma_arcsec**2
+        w = np.exp(-r2 / 2)
+        phi = np.arctan2(KY, KX)
+        for b in range(img.shape[0]):
+            F = np.fft.fft2(x[b]) * np.exp(1j * (ky * c[b, 0] + kx * c[b, 1]))
+            m22 = np.sum(F * np.exp(-2j * phi) * (r2 / 2) * w) / (H * W)
+            assert float(m["M22c"][b]) == pytest.approx(m22.real, rel=1e-4, abs=1e-6)
+            assert float(m["M22s"][b]) == pytest.approx(m22.imag, rel=1e-4, abs=1e-6)
+
     def test_round_galaxy_zero_shear(self):
         img = sheared_gaussian(0.0, 0.0)
         out = np.asarray(estimate_shear(jnp.asarray(img[None])))[0]
