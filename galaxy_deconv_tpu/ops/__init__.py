@@ -22,6 +22,17 @@ from galaxy_deconv_tpu.ops.fourier import (
     rfft2,
     irfft2,
 )
+from galaxy_deconv_tpu.ops.deblur import (
+    disk,
+    estimate_kernel,
+    gauss_kernel,
+    gradient_mask,
+    rgb_to_bayer,
+    rggb_to_rgb,
+    shrinkage,
+    tv_grad,
+    tv_grad_adjoint,
+)
 from galaxy_deconv_tpu.ops.resize import (
     average_downsample,
     pad_to_multiple_edge,
@@ -45,4 +56,13 @@ __all__ = [
     "average_downsample",
     "pad_to_multiple_edge",
     "upsample_nearest",
+    "disk",
+    "estimate_kernel",
+    "gauss_kernel",
+    "gradient_mask",
+    "rgb_to_bayer",
+    "rggb_to_rgb",
+    "shrinkage",
+    "tv_grad",
+    "tv_grad_adjoint",
 ]

@@ -156,3 +156,86 @@ class TestConvFftSymm:
         k[1, 1] = 1.0
         got = np.asarray(ops.conv_fft_symm(jnp.asarray(k), jnp.asarray(x)))
         np.testing.assert_allclose(got, x, rtol=1e-4, atol=1e-5)
+
+
+class TestDeblurToolbox:
+    """Classical-deblur utilities (reference utils/utils_deblur.py capability)."""
+
+    def test_gauss_kernel_normalized_symmetric(self):
+        k = np.asarray(ops.gauss_kernel(11, 1.7))
+        assert k.shape == (11, 11)
+        np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(k, k[::-1, ::-1], rtol=1e-6)  # centered
+        np.testing.assert_allclose(k, k.T, rtol=1e-6)  # isotropic
+        assert k[5, 5] == k.max()
+
+    def test_disk_normalized_and_binary_support(self):
+        k = np.asarray(ops.disk(15, 4.0))
+        np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+        vals = np.unique(k)
+        assert len(vals) == 2 and vals[0] == 0.0
+        np.testing.assert_allclose(k, k[::-1, ::-1], rtol=1e-6)
+
+    def test_shrinkage_is_soft_threshold(self, rng):
+        z = rng.standard_normal((64,)).astype(np.float32)
+        got = np.asarray(ops.shrinkage(jnp.asarray(z), 0.3))
+        want = np.sign(z) * np.maximum(np.abs(z) - 0.3, 0.0)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_tv_grad_periodic_and_adjoint(self, rng):
+        u = rng.standard_normal((9, 12)).astype(np.float32)
+        dx, dy = ops.tv_grad(jnp.asarray(u))
+        # forward difference with circular wrap (reference D semantics)
+        np.testing.assert_allclose(np.asarray(dx)[:, -1], u[:, 0] - u[:, -1], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dy)[-1, :], u[0, :] - u[-1, :], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx)[:, :-1], np.diff(u, axis=1), rtol=1e-5, atol=1e-6)
+        # adjoint identity <D u, p> == <u, D* p>
+        px, py = rng.standard_normal(u.shape).astype(np.float32), rng.standard_normal(u.shape).astype(np.float32)
+        lhs = (np.asarray(dx) * px + np.asarray(dy) * py).sum()
+        rhs = (u * np.asarray(ops.tv_grad_adjoint(jnp.asarray(px), jnp.asarray(py)))).sum()
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+    def test_estimate_kernel_recovers_gaussian_blur(self, rng):
+        """Blind kernel estimation: blur a blocky image with a known
+        Gaussian, recover a normalized kernel peaked at the center that
+        correlates with the truth.  (The saliency mask makes the reference
+        algorithm approximate by construction, so exact-moment recovery is
+        not expected — see ops/deblur.py docstrings.)"""
+        blocks = rng.random((8, 8)).astype(np.float32) * 8
+        x = np.kron(blocks, np.ones((8, 8), np.float32))
+        k_true = np.asarray(ops.gauss_kernel(9, 1.2))
+        otf = ops.psf_to_otf(jnp.asarray(k_true), (64, 64))
+        y = ops.conv_fft(otf, jnp.asarray(x)[None])[0]
+        k_est = np.asarray(ops.estimate_kernel(jnp.asarray(x), y, lambda_l2=1e-3, ksize=15))
+        np.testing.assert_allclose(k_est.sum(), 1.0, rtol=1e-5)
+        assert k_est.min() >= 0.0
+        peak = np.unravel_index(k_est.argmax(), k_est.shape)
+        assert abs(peak[0] - 7) <= 1 and abs(peak[1] - 7) <= 1
+        ax = np.arange(15) - 7.0
+        cy, cx = (k_est * ax[:, None]).sum(), (k_est * ax[None, :]).sum()
+        assert abs(cy) < 1.0 and abs(cx) < 1.0
+        kt = np.zeros((15, 15), np.float32)
+        kt[3:12, 3:12] = k_true
+        corr = (k_est * kt).sum() / np.sqrt((k_est**2).sum() * (kt**2).sum())
+        assert corr > 0.5
+
+    def test_bayer_roundtrip(self, rng):
+        x = rng.random((8, 10, 3)).astype(np.float32)
+        bayer = np.asarray(ops.rgb_to_bayer(jnp.asarray(x)))
+        assert bayer.shape == (16, 20)
+        planes = [bayer[0::2, 0::2], bayer[0::2, 1::2], bayer[1::2, 0::2], bayer[1::2, 1::2]]
+        rgb = np.asarray(ops.rggb_to_rgb([jnp.asarray(p) for p in planes]))
+        np.testing.assert_allclose(rgb, x, rtol=1e-6)
+        bgr = np.asarray(ops.rggb_to_rgb([jnp.asarray(p) for p in planes], switch_rgb=True))
+        np.testing.assert_allclose(bgr, x[:, :, ::-1], rtol=1e-6)
+
+    def test_gradient_mask_keeps_coherent_edges(self):
+        """A clean step edge survives masking; flat regions are zeroed."""
+        u = np.zeros((32, 32), np.float32)
+        u[:, 16:] = 4.0
+        dx, dy = ops.tv_grad(jnp.asarray(u))
+        mx, my, m = ops.gradient_mask(dx, dy)
+        mx = np.asarray(mx)
+        assert mx[16, 15] != 0.0  # edge gradient kept (scaled)
+        assert np.all(np.asarray(my) == 0.0)  # no vertical gradients anywhere
+        assert mx[16, 5] == 0.0  # flat region suppressed
