@@ -16,6 +16,7 @@ from galaxy_deconv_tpu.analysis.report import (
     plot_psf_error,
     plot_reconstruction_grid,
     plot_admm_trace,
+    plot_batch_with_ellipses,
     psf_error_table,
     summarize_psf_results,
     summarize_psnr_results,
@@ -31,6 +32,7 @@ __all__ = [
     "plot_psf_error",
     "plot_reconstruction_grid",
     "plot_admm_trace",
+    "plot_batch_with_ellipses",
     "psf_error_table",
     "summarize_psf_results",
     "summarize_psnr_results",

@@ -249,6 +249,64 @@ def plot_reconstruction_grid(
     return fig
 
 
+def plot_batch_with_ellipses(
+    images,
+    params=None,
+    peak_pos: float = 0.5,
+    ncols: int = 8,
+    save_to: Optional[str] = None,
+):
+    """Stamp gallery with the fitted iso-intensity ellipse drawn over each
+    galaxy (reference ``plot_batch_with_ellipses``, utils/fit_ellipse.py:183-250).
+
+    ``images``: (B, H, W).  ``params``: optional (B, 5) ellipse parameters in
+    the (cy, cx, theta, a, b) row/col convention of
+    :func:`galaxy_deconv_tpu.losses.best_ellipse.ellipse_params`; when
+    omitted they are fitted here at the ``peak_pos`` intensity level of the
+    min-max-normalized stamps.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    images = np.asarray(images)
+    if params is None:
+        import jax.numpy as jnp
+
+        from galaxy_deconv_tpu.losses.best_ellipse import ellipse_params, min_max_normalize
+
+        params = ellipse_params(min_max_normalize(jnp.asarray(images)), peak_pos)
+    params = np.asarray(params)
+
+    B = images.shape[0]
+    ncols = min(ncols, B)
+    nrows = (B + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(2.0 * ncols, 2.0 * nrows), squeeze=False)
+    t = np.linspace(0.0, 2 * np.pi, 128)
+    for i in range(nrows * ncols):
+        ax = axes[i // ncols][i % ncols]
+        ax.set_xticks([])
+        ax.set_yticks([])
+        if i >= B:
+            ax.axis("off")
+            continue
+        ax.imshow(images[i], cmap="magma", origin="lower")
+        cy, cx, theta, a, b = params[i]
+        # the conic's 'x' axis is the image ROW (weighted_ellipse_fit
+        # convention), so the a-axis rotates from row toward col
+        ct, st = np.cos(theta), np.sin(theta)
+        ys = cy + a * np.cos(t) * ct - b * np.sin(t) * st
+        xs = cx + a * np.cos(t) * st + b * np.sin(t) * ct
+        ax.plot(xs, ys, color="cyan", lw=1.0)
+        ax.plot([cx], [cy], "+", color="cyan", ms=6)
+    fig.tight_layout()
+    if save_to:
+        fig.savefig(save_to, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_admm_trace(
     traces: dict,
     sample: int = 0,

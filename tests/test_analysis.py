@@ -98,3 +98,38 @@ class TestGalleryAndTrace:
         out = tmp_path / "trace.jpg"
         plot_admm_trace(traces, save_to=str(out))
         assert out.exists() and out.stat().st_size > 0
+
+    def test_batch_with_ellipses_figure(self, tmp_path):
+        """Ellipse-overlay gallery (reference plot_batch_with_ellipses):
+        fitted overlay written, and the auto-fit orientation follows the
+        galaxy's major axis."""
+        from galaxy_deconv_tpu.analysis import plot_batch_with_ellipses
+
+        yy, xx = np.mgrid[0:48, 0:48]
+        imgs = np.stack(
+            [
+                np.exp(-(((xx - 24) / 8.0) ** 2 + ((yy - 24) / 3.0) ** 2)),
+                np.exp(-(((xx - 24) / 3.0) ** 2 + ((yy - 24) / 8.0) ** 2)),
+            ]
+        ).astype(np.float32)
+        out = tmp_path / "ellipses.png"
+        plot_batch_with_ellipses(imgs, save_to=str(out))
+        assert out.exists() and out.stat().st_size > 0
+
+        import jax.numpy as jnp
+
+        from galaxy_deconv_tpu.losses.best_ellipse import ellipse_params, min_max_normalize
+
+        p = np.asarray(ellipse_params(min_max_normalize(jnp.asarray(imgs)), 0.5))
+
+        def major_axis_dir(cy, cx, theta, a, b):
+            # a-axis rotates from row toward col by theta
+            d = np.array([np.cos(theta), np.sin(theta)]) if a >= b else np.array(
+                [-np.sin(theta), np.cos(theta)]
+            )
+            return np.abs(d)  # (|row|, |col|) components
+
+        d0 = major_axis_dir(*p[0])
+        d1 = major_axis_dir(*p[1])
+        assert d0[1] > 0.9  # first galaxy: major axis along columns
+        assert d1[0] > 0.9  # second: along rows
