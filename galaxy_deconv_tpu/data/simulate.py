@@ -388,7 +388,8 @@ _downsample = average_downsample
 
 def observe(gt_hi: jnp.ndarray, psf_hi: jnp.ndarray, noise: jnp.ndarray, cfg: SimulationConfig):
     """FFT-convolve at high resolution, downsample, add noise
-    (reference generate_data.py:246-257).  Returns (obs, psf, gt) at fov res.
+    (reference generate_data.py:246-257).  Returns the observed stamp at
+    fov resolution.
 
     The PSF stamp is centered at (n-1)/2 (render_psf); dividing out that
     centering phase before the product makes the circular convolution leave
