@@ -154,6 +154,7 @@ def fit_online(
     save_every: int = 5000,
     sampler: Callable = sim.simulate_batch,
     steps_per_call: int = 1,
+    stall_timeout_s: Optional[float] = 600.0,
 ):
     """Online training loop.  Validation uses fixed held-out keys (the same
     simulated galaxies every time), so val losses are comparable across the
@@ -162,8 +163,16 @@ def fit_online(
     ``steps_per_call > 1`` fuses that many steps into one lax.scan'd XLA
     call (same data/update sequence; losses still recorded per step) —
     log/val/save cadences snap to multiples of it.
+
+    ``stall_timeout_s``: failure detection for wedged device RPCs — if no
+    train/eval call completes for this long, the process exits with
+    :data:`~galaxy_deconv_tpu.utils.watchdog.STALL_EXIT_CODE` so a
+    supervisor can restart from the last saved checkpoint (see
+    ``utils.watchdog``).  None disables.  The default comfortably exceeds
+    the first-call compile time (~20-40s) and any normal fused-scan call.
     """
     from galaxy_deconv_tpu.train.checkpoint import save_checkpoint
+    from galaxy_deconv_tpu.utils.watchdog import StallWatchdog
 
     k = max(1, steps_per_call)
     if k > 1:
@@ -185,32 +194,35 @@ def fit_online(
     best_val = float("inf")
     window = []
     t0 = time.time()
-    for i in range(0, n_steps, k) if k > 1 else range(n_steps):
-        if k > 1:
-            keys = jnp.stack([jax.random.fold_in(key, i + j) for j in range(k)])
-            state, losses = train_scan(state, keys)
-            window.extend(np.asarray(losses, np.float32).tolist())
-            i = i + k - 1  # cadence checks below fire on the last fused step
-            loss = window[-1]
-        else:
-            state, loss = train_step(state, jax.random.fold_in(key, i))
-            window.append(float(loss))
-        if log_every and (i + 1) % log_every == 0:
-            rate = (i + 1) * batch_size / (time.time() - t0)
-            logger.info("step %d: train=%.5g (%.0f gal/s)", i + 1, np.mean(window[-log_every:]), rate)
-        if val_every and (i + 1) % val_every == 0:
-            val = float(np.mean([float(eval_step(state, vk)) for vk in val_keys]))
-            history["step"].append(i + 1)
-            history["train_loss"].append(float(np.mean(window[-val_every:])))
-            history["val_loss"].append(val)
-            logger.info("step %d: val=%.5g", i + 1, val)
-            if val < best_val:
-                best_val = val
-                history["best_step"] = i + 1
-                if save_path:
-                    save_checkpoint(save_path, model_name, i + 1, state)
-        if save_path and save_every and (i + 1) % save_every == 0:
-            save_checkpoint(save_path, model_name, i + 1, state)
+    with StallWatchdog(stall_timeout_s, name=f"fit_online[{model_name}]") as dog:
+        for i in range(0, n_steps, k) if k > 1 else range(n_steps):
+            if k > 1:
+                keys = jnp.stack([jax.random.fold_in(key, i + j) for j in range(k)])
+                state, losses = train_scan(state, keys)
+                window.extend(np.asarray(losses, np.float32).tolist())
+                i = i + k - 1  # cadence checks below fire on the last fused step
+                loss = window[-1]
+            else:
+                state, loss = train_step(state, jax.random.fold_in(key, i))
+                window.append(float(loss))
+            dog.beat()  # np.asarray/float above synced the device call
+            if log_every and (i + 1) % log_every == 0:
+                rate = (i + 1) * batch_size / (time.time() - t0)
+                logger.info("step %d: train=%.5g (%.0f gal/s)", i + 1, np.mean(window[-log_every:]), rate)
+            if val_every and (i + 1) % val_every == 0:
+                val = float(np.mean([float(eval_step(state, vk)) for vk in val_keys]))
+                dog.beat()
+                history["step"].append(i + 1)
+                history["train_loss"].append(float(np.mean(window[-val_every:])))
+                history["val_loss"].append(val)
+                logger.info("step %d: val=%.5g", i + 1, val)
+                if val < best_val:
+                    best_val = val
+                    history["best_step"] = i + 1
+                    if save_path:
+                        save_checkpoint(save_path, model_name, i + 1, state)
+            if save_path and save_every and (i + 1) % save_every == 0:
+                save_checkpoint(save_path, model_name, i + 1, state)
     history["galaxies_per_sec"] = len(window) * batch_size / (time.time() - t0)
     if save_path:
         # records which checkpoint is the best-val one (consumed by

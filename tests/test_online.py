@@ -143,3 +143,57 @@ class TestDeviceResident:
                                           n_epochs=2, batch_size=4)
         assert len(hist["train_loss"]) == 2
         assert np.isfinite(hist["train_loss"]).all()
+
+
+class TestStallWatchdog:
+    """Failure detection for wedged device RPCs (utils.watchdog)."""
+
+    def test_fires_once_after_timeout_without_beats(self):
+        import time
+
+        from galaxy_deconv_tpu.utils import StallWatchdog
+
+        fired = []
+        dog = StallWatchdog(timeout_s=0.2, name="t", poll_s=0.05,
+                            on_stall=lambda name, el: fired.append((name, el)))
+        with dog:
+            time.sleep(0.6)
+        assert len(fired) == 1
+        assert fired[0][0] == "t" and fired[0][1] > 0.2
+
+    def test_beats_keep_it_quiet_and_stop_joins(self):
+        import time
+
+        from galaxy_deconv_tpu.utils import StallWatchdog
+
+        fired = []
+        with StallWatchdog(timeout_s=0.3, poll_s=0.05,
+                           on_stall=lambda *a: fired.append(a)) as dog:
+            for _ in range(10):
+                time.sleep(0.05)
+                dog.beat()
+        assert fired == []
+
+    def test_disabled_when_timeout_none(self):
+        from galaxy_deconv_tpu.utils import StallWatchdog
+
+        with StallWatchdog(timeout_s=None) as dog:
+            assert dog._thread is None
+            dog.beat()
+
+    def test_fit_online_runs_with_watchdog(self, tmp_path):
+        """Integration: the default-on watchdog wraps a real tiny run and
+        does not misfire on normal progress (incl. compile time)."""
+        from galaxy_deconv_tpu.train.online import fit_online
+
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        from galaxy_deconv_tpu.data.simulate import simulate_batch
+
+        sample = jax.tree.map(np.asarray, simulate_batch(jax.random.PRNGKey(0), 2, CFG))
+        sample["alpha"] = sample["obs"].mean(axis=(1, 2))
+        opt = default_optimizer(1e-3)
+        state, opt = create_train_state(model, jax.random.PRNGKey(0), sample, opt)
+        state, hist = fit_online(model, state, opt, MultiScaleLoss(), n_steps=4, batch_size=2,
+                                 sim_cfg=CFG, log_every=0, val_every=0, save_path=None,
+                                 stall_timeout_s=600.0)
+        assert hist["galaxies_per_sec"] > 0
