@@ -98,9 +98,16 @@ def fit(
     mesh=None,
     pretrained_epochs: int = 0,
     max_val_batches: int = 50,
+    stall_timeout_s: Optional[float] = 600.0,
 ):
-    """Training loop.  Returns (state, history dict)."""
+    """Training loop.  Returns (state, history dict).
+
+    ``stall_timeout_s``: wedged-device-RPC detection, as in
+    :func:`galaxy_deconv_tpu.train.online.fit_online` (see
+    ``utils.watchdog``); None disables.
+    """
     from galaxy_deconv_tpu.train.checkpoint import save_checkpoint
+    from galaxy_deconv_tpu.utils.watchdog import StallWatchdog
 
     train_step = make_train_step(model, loss_fn, optimizer)
     eval_step = make_eval_step(model, loss_fn)
@@ -119,6 +126,7 @@ def fit(
             losses.append(float(eval_step(state, place(vb))))
         return float(np.mean(losses)) if losses else float("nan")
 
+    dog = StallWatchdog(stall_timeout_s, name=f"fit[{model_name}]").start()
     for epoch in range(n_epochs):
         t0 = time.time()
         epoch_losses = []
@@ -127,14 +135,17 @@ def fit(
         ):
             state, loss = train_step(state, place(batch))
             epoch_losses.append(float(loss))
+            dog.beat()  # float(loss) synced the device call
             if eval_every and (it + 1) % eval_every == 0:
                 logger.info(
                     "[%d: %d] train_loss=%.4g val_loss=%.4g",
                     epoch + 1, it + 1, np.mean(epoch_losses[-eval_every:]), run_val(),
                 )
+                dog.beat()
 
         train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
         val_loss = run_val()
+        dog.beat()
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)
         history["epoch_time"].append(time.time() - t0)
@@ -146,6 +157,7 @@ def fit(
             if save_path:
                 save_checkpoint(save_path, model_name, epoch + 1 + pretrained_epochs, state)
 
+    dog.stop()
     history["best_epoch"] = epoch_min
     return state, history
 
