@@ -10,6 +10,14 @@ In the functional JAX design "frozen" simply means: initialize this
 module, then overwrite its denoiser subtree with pretrained parameters and
 exclude them from the optimizer (see ``train.loop.freeze_mask``).  Output
 is rescaled by alpha (reference ``:129``).
+
+Reference design quirk, preserved by default: the frozen denoiser is
+trained on raw-ADU denoise stamps (reference generate_data.py:423-431)
+but applied to the *unit-scale* ADMM variable x+u1 (reference ``:123``),
+a large train/inference input-scale mismatch that makes ADMMNet the
+paper's weakest learned baseline.  ``denoiser_scale='adu'`` fixes it:
+the denoiser sees alpha-rescaled (training-scale) inputs,
+z = D((x+u1)*alpha)/alpha, with identical parameters.
 """
 
 from __future__ import annotations
@@ -31,6 +39,7 @@ class ADMMNet(nn.Module):
     features: Sequence[int] = (64, 128, 256, 512)
     rho1: float = 0.5
     rho2: float = 0.5
+    denoiser_scale: str = "unit"  # 'unit' = reference quirk; 'adu' = scale-matched
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -63,7 +72,10 @@ class ADMMNet(nn.Module):
                 v = v_update_poisson(Hx + u2, y, rho2, alpha)
             else:
                 v = v_update_gaussian(Hx + u2, y / alpha, rho2)
-            z = denoise(x + u1)
+            if self.denoiser_scale == "adu":
+                z = denoise((x + u1) * alpha) / alpha
+            else:
+                z = denoise(x + u1)
             rhs = fourier.rfft2(rho1 * (z - u1) + rho2 * fourier.conv_fft(Ht, v - u2))
             x = fourier.irfft2(rhs / (rho1 + rho2 * HtH), shape)
             u1 = u1 + x - z

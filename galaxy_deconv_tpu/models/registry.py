@@ -32,6 +32,9 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     "Unrolled_ADMM": UnrolledADMM,
     "Unrolled_ADMM_Gaussian": lambda **kw: UnrolledADMMGaussian(**kw),
     "ADMMNet": ADMMNet,
+    # scale-matched frozen-denoiser variant (fixes the reference's
+    # train/inference input-scale quirk; see models/admmnet.py docstring)
+    "ADMMNet_scaled": lambda **kw: ADMMNet(denoiser_scale="adu", **kw),
     "ResUNet": ResUNetDenoiser,
 }
 

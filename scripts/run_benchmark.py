@@ -109,7 +109,11 @@ def main():
         params = unpack_variables(st)["params"]
         methods["ADMMNet"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
                               "build_name": "ADMMNet"}
-        print(f"assembled ADMMNet from ResUNet_MultiScale step {ep}")
+        # scale-matched variant: same frozen denoiser, training-scale inputs
+        # (fixes the reference's input-scale quirk — models/admmnet.py)
+        methods["ADMMNet_scaled"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
+                                     "build_name": "ADMMNet_scaled"}
+        print(f"assembled ADMMNet (+_scaled) from ResUNet_MultiScale step {ep}")
 
     if args.only:
         methods = {k: v for k, v in methods.items() if k in args.only}

@@ -148,6 +148,31 @@ class TestOtherSolvers:
         rec = model.apply(v, obs, psf, alpha)
         assert rec.shape == (1, 48, 48) and np.isfinite(np.asarray(rec)).all()
 
+    def test_admmnet_scaled_variant(self, stamps):
+        """denoiser_scale='adu' feeds the frozen denoiser training-scale
+        inputs: identical to the reference path at alpha=1, different (and
+        finite) at real alpha (see models/admmnet.py docstring)."""
+        from galaxy_deconv_tpu.models import build_model
+
+        obs = batchify(stamps["obs"])
+        psf = batchify(stamps["psf"])
+        ref = ADMMNet(n_iters=2, features=(8, 16, 32, 64))
+        scaled = build_model("ADMMNet_scaled", n_iters=2, features=(8, 16, 32, 64))
+        assert scaled.denoiser_scale == "adu"
+        v = ref.init(jax.random.PRNGKey(0), obs, psf, jnp.asarray([1.0]))
+
+        one = jnp.asarray([1.0])
+        np.testing.assert_allclose(
+            np.asarray(ref.apply(v, obs, psf, one)),
+            np.asarray(scaled.apply(v, obs, psf, one)),
+            rtol=1e-6, atol=1e-6,
+        )
+        a = jnp.asarray([stamps["alpha"]])
+        r1 = np.asarray(ref.apply(v, obs, psf, a))
+        r2 = np.asarray(scaled.apply(v, obs, psf, a))
+        assert np.isfinite(r2).all()
+        assert not np.allclose(r1, r2)
+
     def test_tikhonet(self, stamps):
         model = Tikhonet(filter="Laplacian")
         obs = batchify(stamps["obs"])
