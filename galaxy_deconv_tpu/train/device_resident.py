@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from galaxy_deconv_tpu.data.dataset import GalaxyDataset, train_val_indices
-from galaxy_deconv_tpu.train.state import TrainState
+from galaxy_deconv_tpu.train.state import TrainState, update_is_good
 
 logger = logging.getLogger("galaxy_deconv_tpu.train.device_resident")
 
@@ -60,7 +60,7 @@ def make_indexed_train_step(model, loss_fn: Callable, optimizer, data: dict, don
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        good = jnp.isfinite(loss)
+        good = update_is_good(loss, updates)
         new_params = jax.tree.map(lambda p, u: jnp.where(good, p + u, p), state.params, updates)
         return (
             TrainState(step=state.step + 1, params=new_params, batch_stats=new_stats, opt_state=new_opt),

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from galaxy_deconv_tpu.data import simulate as sim
-from galaxy_deconv_tpu.train.state import TrainState
+from galaxy_deconv_tpu.train.state import TrainState, update_is_good
 
 logger = logging.getLogger("galaxy_deconv_tpu.train.online")
 
@@ -61,9 +61,9 @@ def _online_step_body(
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        # failure containment: a non-finite loss (bad batch / fp blow-up)
-        # skips the whole update instead of corrupting params/opt state
-        good = jnp.isfinite(loss)
+        # failure containment: skip the whole update on a non-finite loss
+        # OR non-finite update (see train.state.update_is_good)
+        good = update_is_good(loss, updates)
         new_params = jax.tree.map(lambda p, u: jnp.where(good, p + u, p), state.params, updates)
         new_opt = jax.tree.map(
             lambda a, b: jnp.where(good, a, b) if hasattr(a, "shape") and a.shape == getattr(b, "shape", None) else a,

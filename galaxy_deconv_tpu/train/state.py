@@ -18,6 +18,20 @@ class TrainState:
     opt_state: Any
 
 
+def update_is_good(loss: jnp.ndarray, updates) -> jnp.ndarray:
+    """Failure-containment predicate for a train step: True iff the loss
+    AND every optimizer update entry are finite.  A finite loss can still
+    come with NaN/inf grads (e.g. a prox sqrt at 0) — applying such an
+    update corrupts params irrecoverably (observed on a Poisson-ADMM run),
+    so the step must be skipped entirely."""
+    finite_updates = jax.tree.reduce(
+        jnp.logical_and,
+        jax.tree.map(lambda u: jnp.isfinite(u).all(), updates),
+        jnp.asarray(True),
+    )
+    return jnp.isfinite(loss) & finite_updates
+
+
 def default_optimizer(
     lr: float = 2e-4,
     clip_norm: float = 1.0,

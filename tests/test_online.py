@@ -127,6 +127,33 @@ class TestFailureContainment:
         assert not np.isfinite(float(loss))
         np.testing.assert_array_equal(np.asarray(jax.tree.leaves(new_state.params)[0]), np.asarray(before))
 
+    def test_finite_loss_nonfinite_grads_skips_update(self):
+        """A FINITE loss whose gradients are NaN (sqrt at 0) must also
+        leave params untouched — checking only isfinite(loss) let exactly
+        this poison a Poisson-ADMM run (train.state.update_is_good)."""
+        import jax.numpy as jnp
+
+        from galaxy_deconv_tpu.models import UnrolledADMMGaussian
+        from galaxy_deconv_tpu.train.loop import make_train_step
+
+        def poisoned_loss(gt, rec):
+            # forward value 0 (finite); d/drec sqrt(rec*0) at 0 -> nan
+            return jnp.sum(jnp.sqrt(rec * 0.0))
+
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        batch = {
+            "obs": np.ones((2, 48, 48), np.float32),
+            "psf": np.ones((2, 48, 48), np.float32) / 100,
+            "alpha": np.ones((2,), np.float32),
+            "gt": np.ones((2, 48, 48), np.float32),
+        }
+        state, opt = create_train_state(model, jax.random.PRNGKey(0), batch, default_optimizer(1e-3))
+        step = make_train_step(model, poisoned_loss, opt, donate=False)
+        before = jax.tree.leaves(state.params)[0].copy()
+        new_state, loss = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+        assert np.isfinite(float(loss))  # the loss itself is fine
+        np.testing.assert_array_equal(np.asarray(jax.tree.leaves(new_state.params)[0]), np.asarray(before))
+
 
 class TestDeviceResident:
     def test_fit_device_resident(self, tmp_path):
