@@ -46,7 +46,7 @@ def main():
     params = jax.tree.map(lambda p: p[0], sample_params(key, 1, cfg))
 
     print("sampled parameters:")
-    for k in ("atmos_fwhm", "atmos_e", "gal_g", "gal_beta", "sersic_n", "hlr"):
+    for k in ("atmos_fwhm", "atmos_e", "gal_g", "gal_beta", "sersic_n", "half_light_radius"):
         if k in params:
             print(f"  {k:12s} = {float(params[k]):+.4f}")
 

@@ -44,6 +44,8 @@ class ADMMNet(nn.Module):
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, psf: jnp.ndarray, alpha: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.denoiser_scale not in ("unit", "adu"):
+            raise ValueError(f"denoiser_scale must be 'unit' or 'adu', got {self.denoiser_scale!r}")
         B = obs.shape[0]
         shape = obs.shape[-2:]
         alpha = jnp.reshape(alpha, (B,)).astype(jnp.float32)[:, None, None]

@@ -57,9 +57,16 @@ def gauss_kernel(size: int, sigma: float) -> jnp.ndarray:
 
 def disk(size: int, r: float) -> jnp.ndarray:
     """Normalized circular (defocus) kernel of radius ``r`` pixels
-    (reference utils_deblur.py:40-45; grid fixes documented above)."""
+    (reference utils_deblur.py:40-45; grid fixes documented above).
+
+    A radius smaller than the nearest grid point would select zero pixels
+    (0/0 -> all-NaN); that degenerate case falls back to the nearest-
+    to-center pixel, i.e. an (even-size: off-center) delta kernel."""
     xx, yy = _pixel_grid(size)
-    k = ((xx**2 + yy**2) < r**2).astype(jnp.float32)
+    r2 = xx**2 + yy**2
+    k = (r2 < r**2).astype(jnp.float32)
+    delta = (r2 == r2.min()).astype(jnp.float32)
+    k = jnp.where(k.sum() > 0, k, delta)
     return k / k.sum()
 
 
@@ -141,8 +148,11 @@ def estimate_kernel(
     den = jnp.abs(Fx1) ** 2 + jnp.abs(Fx2) ** 2 + lambda_l2
     k = jnp.real(jnp.fft.ifftshift(jnp.fft.ifft2(num / den), axes=(-2, -1)))
 
+    # ifftshift puts the zero-lag pixel at index (H//2, W//2); crop so it
+    # lands at the stamp center (ksize//2, ksize//2) — the naive
+    # (H-ksize)//2 start is off by one pixel for odd ksize on even images
     H, W = k.shape[-2], k.shape[-1]
-    i1, j1 = (H - ksize) // 2, (W - ksize) // 2
+    i1, j1 = H // 2 - ksize // 2, W // 2 - ksize // 2
     k = k[..., i1 : i1 + ksize, j1 : j1 + ksize]
     k = jnp.maximum(k, 0.0)
     return k / jnp.maximum(k.sum(axis=(-2, -1), keepdims=True), 1e-12)

@@ -62,6 +62,13 @@ def make_indexed_train_step(model, loss_fn: Callable, optimizer, data: dict, don
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         good = update_is_good(loss, updates)
         new_params = jax.tree.map(lambda p, u: jnp.where(good, p + u, p), state.params, updates)
+        # revert opt state and BN stats too on a bad step — otherwise one
+        # NaN-grad step poisons Adam's moments and training silently stalls
+        new_opt = jax.tree.map(
+            lambda a, b: jnp.where(good, a, b) if hasattr(a, "shape") and a.shape == getattr(b, "shape", None) else a,
+            new_opt, state.opt_state,
+        )
+        new_stats = jax.tree.map(lambda a, b: jnp.where(good, a, b), new_stats, state.batch_stats)
         return (
             TrainState(step=state.step + 1, params=new_params, batch_stats=new_stats, opt_state=new_opt),
             loss,

@@ -126,38 +126,40 @@ def fit(
             losses.append(float(eval_step(state, place(vb))))
         return float(np.mean(losses)) if losses else float("nan")
 
-    dog = StallWatchdog(stall_timeout_s, name=f"fit[{model_name}]").start()
-    for epoch in range(n_epochs):
-        t0 = time.time()
-        epoch_losses = []
-        for it, batch in enumerate(
-            iterate_batches(dataset, batch_size, shuffle=True, seed=seed + epoch, indices=tr_idx)
-        ):
-            state, loss = train_step(state, place(batch))
-            epoch_losses.append(float(loss))
-            dog.beat()  # float(loss) synced the device call
-            if eval_every and (it + 1) % eval_every == 0:
-                logger.info(
-                    "[%d: %d] train_loss=%.4g val_loss=%.4g",
-                    epoch + 1, it + 1, np.mean(epoch_losses[-eval_every:]), run_val(),
-                )
-                dog.beat()
+    # context manager: the watchdog must be disarmed on ANY exit (incl.
+    # exceptions), else the leaked daemon thread os._exit(75)'s the process
+    # 600s later even though nothing is wedged
+    with StallWatchdog(stall_timeout_s, name=f"fit[{model_name}]") as dog:
+        for epoch in range(n_epochs):
+            t0 = time.time()
+            epoch_losses = []
+            for it, batch in enumerate(
+                iterate_batches(dataset, batch_size, shuffle=True, seed=seed + epoch, indices=tr_idx)
+            ):
+                state, loss = train_step(state, place(batch))
+                epoch_losses.append(float(loss))
+                dog.beat()  # float(loss) synced the device call
+                if eval_every and (it + 1) % eval_every == 0:
+                    logger.info(
+                        "[%d: %d] train_loss=%.4g val_loss=%.4g",
+                        epoch + 1, it + 1, np.mean(epoch_losses[-eval_every:]), run_val(),
+                    )
+                    dog.beat()
 
-        train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
-        val_loss = run_val()
-        dog.beat()
-        history["train_loss"].append(train_loss)
-        history["val_loss"].append(val_loss)
-        history["epoch_time"].append(time.time() - t0)
-        logger.info("epoch %d: train=%.4g val=%.4g (%.1fs)", epoch + 1, train_loss, val_loss, history["epoch_time"][-1])
+            train_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+            val_loss = run_val()
+            dog.beat()
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            history["epoch_time"].append(time.time() - t0)
+            logger.info("epoch %d: train=%.4g val=%.4g (%.1fs)", epoch + 1, train_loss, val_loss, history["epoch_time"][-1])
 
-        if val_loss < val_loss_min or (epoch + 1) % 5 == 0:
-            if val_loss < val_loss_min:
-                val_loss_min, epoch_min = val_loss, epoch
-            if save_path:
-                save_checkpoint(save_path, model_name, epoch + 1 + pretrained_epochs, state)
+            if val_loss < val_loss_min or (epoch + 1) % 5 == 0:
+                if val_loss < val_loss_min:
+                    val_loss_min, epoch_min = val_loss, epoch
+                if save_path:
+                    save_checkpoint(save_path, model_name, epoch + 1 + pretrained_epochs, state)
 
-    dog.stop()
     history["best_epoch"] = epoch_min
     return state, history
 

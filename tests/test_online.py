@@ -171,6 +171,32 @@ class TestDeviceResident:
         assert len(hist["train_loss"]) == 2
         assert np.isfinite(hist["train_loss"]).all()
 
+    def test_bad_step_reverts_opt_state_too(self, tmp_path):
+        """A NaN-grad step must leave Adam's moments (not just params)
+        untouched — a poisoned opt_state silently stalls all later steps."""
+        import jax.numpy as jnp
+
+        from galaxy_deconv_tpu.data import GalaxyDataset, generate_dataset
+        from galaxy_deconv_tpu.train.device_resident import make_indexed_train_step, upload_split
+
+        root = generate_dataset(tmp_path / "ds", n_train=8, n_test=4, cfg=CFG, chunk=8,
+                                snrs=(), shear_errs=(), fwhm_errs=(), verbose=False)
+        ds = GalaxyDataset(root, "train")
+        model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
+        b = ds.batch(np.arange(4))
+        state, opt = create_train_state(model, jax.random.PRNGKey(0), b, default_optimizer(1e-3))
+
+        def poisoned_loss(gt, rec):
+            return jnp.sum(jnp.sqrt(rec * 0.0))  # finite value, nan grads
+
+        data = upload_split(ds)
+        step = make_indexed_train_step(model, poisoned_loss, opt, data, donate=False)
+        before = [np.asarray(x).copy() for x in jax.tree.leaves(state.opt_state)]
+        new_state, loss = step(state, jnp.arange(4))
+        assert np.isfinite(float(loss))
+        for a, b_ in zip(jax.tree.leaves(new_state.opt_state), before):
+            np.testing.assert_array_equal(np.asarray(a), b_)
+
 
 class TestStallWatchdog:
     """Failure detection for wedged device RPCs (utils.watchdog)."""

@@ -176,6 +176,13 @@ class TestDeblurToolbox:
         assert len(vals) == 2 and vals[0] == 0.0
         np.testing.assert_allclose(k, k[::-1, ::-1], rtol=1e-6)
 
+    def test_disk_tiny_radius_falls_back_to_delta(self):
+        """r below the nearest grid point must not produce 0/0 NaNs."""
+        k = np.asarray(ops.disk(16, 0.5))
+        assert np.isfinite(k).all()
+        np.testing.assert_allclose(k.sum(), 1.0, rtol=1e-6)
+        assert (k > 0).sum() == 4  # the four nearest-to-center pixels of an even grid
+
     def test_shrinkage_is_soft_threshold(self, rng):
         z = rng.standard_normal((64,)).astype(np.float32)
         got = np.asarray(ops.shrinkage(jnp.asarray(z), 0.3))
@@ -210,10 +217,10 @@ class TestDeblurToolbox:
         np.testing.assert_allclose(k_est.sum(), 1.0, rtol=1e-5)
         assert k_est.min() >= 0.0
         peak = np.unravel_index(k_est.argmax(), k_est.shape)
-        assert abs(peak[0] - 7) <= 1 and abs(peak[1] - 7) <= 1
+        assert peak == (7, 7)  # exactly centered (zero-lag at ksize//2)
         ax = np.arange(15) - 7.0
         cy, cx = (k_est * ax[:, None]).sum(), (k_est * ax[None, :]).sum()
-        assert abs(cy) < 1.0 and abs(cx) < 1.0
+        assert abs(cy) < 0.5 and abs(cx) < 0.5
         kt = np.zeros((15, 15), np.float32)
         kt[3:12, 3:12] = k_true
         corr = (k_est * kt).sum() / np.sqrt((k_est**2).sum() * (kt**2).sum())
