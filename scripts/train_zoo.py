@@ -57,6 +57,12 @@ def main():
     from galaxy_deconv_tpu.train import create_train_state
     from galaxy_deconv_tpu.train.online import fit_online
     from galaxy_deconv_tpu.train.state import default_optimizer
+    from galaxy_deconv_tpu.utils.watchdog import StallWatchdog
+
+    # fit_online's own watchdog only covers the training loop; the init
+    # path (first simulate_batch + model init) is also a device call that
+    # has been observed to wedge — cover it here and hand off at fit time.
+    init_dog = StallWatchdog(600.0, name="train_zoo[init]").start()
 
     cfg = SimulationConfig()
     for key in args.models:
@@ -90,6 +96,7 @@ def main():
                 batch_stats=jax.tree.map(np.asarray, warm.get("batch_stats", state.batch_stats)),
             )
             print(f"warm-started {name} from {args.init_from}")
+        init_dog.stop()  # hand off to fit_online's own loop watchdog
         print(f"=== training {name} for {args.steps} steps ===")
         state, hist = fit_online(
             model, state, optimizer, build_loss(loss_name), n_steps=args.steps,
@@ -97,9 +104,11 @@ def main():
             model_name=name, save_path=args.save_path, save_every=args.steps,
             sampler=sampler, steps_per_call=args.steps_per_call,
         )
+        init_dog = StallWatchdog(600.0, name="train_zoo[init]").start()
         val = hist["val_loss"]
         summary = f"final val={val[-1]:.5g} best={min(val):.5g}" if val else "no val evals (steps < val_every)"
         print(f"{name}: {summary} ({hist['galaxies_per_sec']:.0f} gal/s)")
+    init_dog.stop()
 
 
 if __name__ == "__main__":
