@@ -18,10 +18,11 @@ import numpy as np
 
 
 def _cmd_generate(ns):
-    from galaxy_deconv_tpu.data import SimulationConfig, generate_dataset
+    from galaxy_deconv_tpu.data import SimulationConfig, generate_dataset, generate_dataset_denoise
 
     cfg = SimulationConfig(pupil_n=ns.pupil_n, pupil_pad=2 * ns.pupil_n)
-    root = generate_dataset(
+    gen = generate_dataset_denoise if ns.task == "Denoise" else generate_dataset
+    root = gen(
         ns.data_path, n_train=ns.n_train, n_test=ns.n_test, cfg=cfg, seed=ns.seed, chunk=ns.chunk
     )
     print(f"dataset written to {root}")
@@ -169,6 +170,9 @@ def main(argv=None):
     g.add_argument("--pupil_n", type=int, default=512)
     g.add_argument("--chunk", type=int, default=256)
     g.add_argument("--seed", type=int, default=31415)
+    g.add_argument("--task", type=str, default="Deconv", choices=["Deconv", "Denoise"],
+                   help="Deconv: full benchmark dataset; Denoise: obs = gt + noise pairs "
+                        "(reference generate_data.py --task)")
     g.set_defaults(fn=_cmd_generate)
 
     from galaxy_deconv_tpu.config import add_args

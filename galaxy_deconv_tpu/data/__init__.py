@@ -10,6 +10,7 @@
 from galaxy_deconv_tpu.data.dataset import (
     GalaxyDataset,
     generate_dataset,
+    generate_dataset_denoise,
     iterate_batches,
     load_reference_pth_dataset,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "GalaxyDataset",
     "SimulationConfig",
     "generate_dataset",
+    "generate_dataset_denoise",
     "iterate_batches",
     "load_reference_pth_dataset",
     "noise_sigma",

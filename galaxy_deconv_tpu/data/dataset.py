@@ -210,6 +210,53 @@ def generate_dataset(
     return root
 
 
+def generate_dataset_denoise(
+    root,
+    n_train: int = 2000,
+    n_test: int = 500,
+    cfg: sim.SimulationConfig = sim.SimulationConfig(),
+    seed: int = 31415,
+    chunk: int = 128,
+    verbose: bool = True,
+) -> pathlib.Path:
+    """Simulate and write a denoising-task dataset (reference
+    ``generate_data.py --task Denoise``, :337-452): obs = gt + CCD noise,
+    no PSF convolution — the training set for the standalone ResUNet
+    denoiser that powers the frozen-denoiser ADMMNet baseline."""
+    root = pathlib.Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+
+    for split, n_split in (("train", n_train), ("test", n_test)):
+        store: dict = {}
+        done = 0
+        while done < n_split:
+            n = min(chunk, n_split - done)
+            key, k = jax.random.split(key)
+            _append(store, sim.simulate_batch_denoise(k, n, cfg))
+            done += n
+            if verbose:
+                print(f"\r{split} {done}/{n_split}", end="", flush=True)
+        _write(root / split, store)
+        if verbose:
+            print()
+
+    info = dict(
+        n_train=n_train,
+        n_test=n_test,
+        fov_pixels=cfg.fov_pixels,
+        pixel_scale=cfg.pixel_scale,
+        upsample=cfg.upsample,
+        seed=seed,
+        task="Denoise",
+        noise_sigma=sim.noise_sigma(cfg.pixel_scale),
+        generator="galaxy_deconv_tpu.data.simulate",
+    )
+    with open(root / "info.json", "w") as f:
+        json.dump(info, f, indent=1)
+    return root
+
+
 # ---------------------------------------------------------------------------
 # Reference-format conversion
 # ---------------------------------------------------------------------------

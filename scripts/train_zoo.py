@@ -45,6 +45,13 @@ def main():
         "--suffix", default="",
         help="appended to every run name (e.g. _cont), keeping continuation "
              "checkpoints separate from the original run's")
+    parser.add_argument("--snr_min", type=float, default=None,
+                        help="override SimulationConfig.snr_min for the training SNR distribution")
+    parser.add_argument("--snr_max", type=float, default=None,
+                        help="override SimulationConfig.snr_max")
+    parser.add_argument("--snr_power", type=float, default=None,
+                        help="override SimulationConfig.snr_power (p(snr) ∝ snr^-power; "
+                             "larger = more low-SNR emphasis, 1.0 = log-uniform)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -64,7 +71,14 @@ def main():
     # has been observed to wedge — cover it here and hand off at fit time.
     init_dog = StallWatchdog(600.0, name="train_zoo[init]").start()
 
-    cfg = SimulationConfig()
+    overrides = {
+        k: getattr(args, k)
+        for k in ("snr_min", "snr_max", "snr_power")
+        if getattr(args, k) is not None
+    }
+    cfg = SimulationConfig(**overrides)
+    if overrides:
+        print(f"simulation overrides: {overrides}")
     for key in args.models:
         name, kind, kw, loss_name = SPECS[key]
         name += args.suffix

@@ -122,3 +122,24 @@ class TestDataset:
         tr, va = train_val_indices(100, 0.8, seed=0)
         assert len(tr) == 80 and len(va) == 20
         assert not set(tr) & set(va)
+
+    def test_generate_denoise_task(self, tmp_path):
+        from galaxy_deconv_tpu.data import generate_dataset_denoise
+
+        root = generate_dataset_denoise(
+            tmp_path / "dn", n_train=8, n_test=4, cfg=CFG, chunk=8, verbose=False
+        )
+        ds = GalaxyDataset(root, "train")
+        assert len(ds) == 8
+        b = ds.batch(np.arange(4))
+        # denoise task: no PSF convolution — obs is gt plus noise at the CCD
+        # noise level (reference generate_data.py:337-452)
+        from galaxy_deconv_tpu.data import noise_sigma
+
+        resid = b["obs"] - b["gt"]
+        sigma = noise_sigma(CFG.pixel_scale)
+        assert 0.5 * sigma < resid.std() < 1.5 * sigma
+        import json
+
+        info = json.load(open(root / "info.json"))
+        assert info["task"] == "Denoise"
