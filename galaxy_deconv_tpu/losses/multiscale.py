@@ -25,13 +25,28 @@ def l1_loss(output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class MultiScaleLoss:
+    """``flux_normalize=True`` divides each sample's residual by its
+    ground-truth mean flux, so faint (low-SNR) stamps contribute as much to
+    the gradient as bright ones — the plain ADU-scale L1 is dominated by
+    high-alpha samples.  Call convention is ``loss(gt, rec)`` (the
+    reference's ``loss_fn(gt, rec)``, train.py:87): the first argument is
+    the ground truth the normalization derives from."""
+
     scales: int = 3
     norm: str = "L1"
     aux_loss_fn: Optional[Callable] = None
     aux_weight: float = 0.1
+    flux_normalize: bool = False
 
     def __call__(self, output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
         base = l1_loss if self.norm == "L1" else mse_loss
+        if self.flux_normalize:
+            axes = tuple(range(1, output.ndim))
+            scale = jnp.mean(jnp.abs(output), axis=axes) + 1e-3
+            shape = (-1,) + (1,) * (output.ndim - 1)
+            w = (1.0 / scale).reshape(shape)
+            output = output * w
+            target = target * w
         total = 0.0
         for s in range(self.scales):
             rate = 2**s

@@ -52,6 +52,9 @@ def main():
     parser.add_argument("--snr_power", type=float, default=None,
                         help="override SimulationConfig.snr_power (p(snr) ∝ snr^-power; "
                              "larger = more low-SNR emphasis, 1.0 = log-uniform)")
+    parser.add_argument("--flux_norm_loss", action="store_true",
+                        help="per-sample flux normalization in the MultiScale loss "
+                             "(equal gradient weight for faint/low-SNR stamps)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -113,7 +116,10 @@ def main():
         init_dog.stop()  # hand off to fit_online's own loop watchdog
         print(f"=== training {name} for {args.steps} steps ===")
         state, hist = fit_online(
-            model, state, optimizer, build_loss(loss_name), n_steps=args.steps,
+            model, state, optimizer,
+            build_loss(loss_name, **({"flux_normalize": True}
+                                     if args.flux_norm_loss and loss_name == "MultiScale" else {})),
+            n_steps=args.steps,
             batch_size=args.batch, sim_cfg=cfg, seed=args.seed, log_every=500, val_every=1000,
             model_name=name, save_path=args.save_path, save_every=args.steps,
             sampler=sampler, steps_per_call=args.steps_per_call,

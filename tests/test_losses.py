@@ -50,6 +50,18 @@ class TestMultiScale:
         tgt = jnp.full((1, 8, 8), 2.0)
         assert float(MultiScaleLoss()(out, tgt)) == pytest.approx(2.0 * 1.75)
 
+    def test_flux_normalize_equalizes_samples(self):
+        # same relative error at 100x different flux: the normalized loss is
+        # flux-invariant, the plain ADU loss is dominated by the bright stamp
+        gt = jnp.stack([jnp.full((8, 8), 1.0), jnp.full((8, 8), 100.0)])
+        rec = gt * 1.1
+        loss_n = MultiScaleLoss(flux_normalize=True)
+        one = float(loss_n(gt[:1], rec[:1]))
+        two = float(loss_n(gt[1:], rec[1:]))
+        assert two == pytest.approx(one, rel=1e-2)
+        plain = MultiScaleLoss()
+        assert float(plain(gt[1:], rec[1:])) > 50 * float(plain(gt[:1], rec[:1]))
+
 
 class TestMoments:
     def test_centroid_of_blob(self):
