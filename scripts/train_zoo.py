@@ -20,6 +20,10 @@ SPECS = {
     # ShapeNet = Tikhonet trained with the shape-constraint loss
     # (reference train.py:44-45,58-59)
     "shapenet": ("ShapeNet_Laplacian", "tikhonet", dict(filter="Laplacian"), "Shape"),
+    # flagship trained with the shape-constraint loss (any --loss combines
+    # with any --model in the reference CLI, train.py:58-74)
+    "admm8_shape": ("Gaussian_PnP_ADMM_8iters_Shape", "admm", dict(n_iters=8), "Shape"),
+    "admm8_moment": ("Gaussian_PnP_ADMM_8iters_MomentBased", "admm", dict(n_iters=8), "MomentBasedLoss"),
     # Poisson-likelihood two-dual ADMM (reference models/Unrolled_ADMM.py —
     # eval-alive in test.py:42-44; train-dead there, trainable here)
     "poisson8": ("Poisson_PnP_ADMM_8iters_MultiScale", "admm_poisson", dict(n_iters=8), "MultiScale"),
