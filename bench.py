@@ -21,8 +21,11 @@ BASELINE_GAL_PER_SEC = 1.0 / 0.0590  # reference 8-iter ADMM incl. shear measure
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=1024)
-    parser.add_argument("--repeats", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=256,
+                        help="256 is the measured throughput-optimal batch on v5e: larger "
+                             "batches push the 96x96 FFT/conv working set past VMEM and go "
+                             "HBM-bound (B=256 ~9.0k gal/s vs B=1024 ~7.3k)")
+    parser.add_argument("--repeats", type=int, default=40)
     parser.add_argument("--quick", action="store_true", help="small batch / few repeats")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"],

@@ -73,11 +73,14 @@ def main():
         sharded = shard_batch(batch, mesh)
         step = make_train_step(model, MultiScaleLoss(), opt, donate=False)
         state, loss = step(state, sharded)  # compile
-        jax.block_until_ready(loss)
+        float(loss)
         t0 = time.time()
         for _ in range(args.steps):
             state, loss = step(state, sharded)
-        jax.block_until_ready(loss)
+        # fetch the final loss VALUE: over a tunneled backend (axon),
+        # block_until_ready on the remote ref can return before execution
+        # finishes and under-times the loop; a host fetch cannot
+        float(loss)
         dt = (time.time() - t0) / args.steps
         rate = global_batch / dt
         results[nd] = rate
