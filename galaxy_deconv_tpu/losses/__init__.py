@@ -1,8 +1,10 @@
 """Training losses (L4).
 
-All losses are pure callables ``loss(output, target) -> scalar`` on
-``(B, H, W)`` stamps, fully batched (the reference's per-sample Python
-loops become vmap/vectorized jnp), jit- and grad-compatible.
+All losses are pure callables ``loss(gt, rec) -> scalar`` on ``(B, H, W)``
+stamps — the first argument is the ground truth, matching the reference's
+``loss_fn(gt, rec)`` call (train.py:87).  Fully batched (the reference's
+per-sample Python loops become vmap/vectorized jnp), jit- and
+grad-compatible.
 
 - :class:`MultiScaleLoss`   ↔ reference ``utils/utils_train.py:256-284``
 - :class:`MomentBasedLoss`  ↔ reference ``utils/utils_train.py:185-254``

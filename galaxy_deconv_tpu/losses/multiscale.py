@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from galaxy_deconv_tpu.ops.resize import average_downsample
@@ -38,15 +39,19 @@ class MultiScaleLoss:
     aux_weight: float = 0.1
     flux_normalize: bool = False
 
-    def __call__(self, output: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, gt: jnp.ndarray, rec: jnp.ndarray) -> jnp.ndarray:
         base = l1_loss if self.norm == "L1" else mse_loss
         if self.flux_normalize:
-            axes = tuple(range(1, output.ndim))
-            scale = jnp.mean(jnp.abs(output), axis=axes) + 1e-3
-            shape = (-1,) + (1,) * (output.ndim - 1)
+            # Derive the per-sample scale from the ground truth and cut the
+            # gradient through it, so even a caller passing (rec, gt) cannot
+            # leak gradient into the normalizer.
+            axes = tuple(range(1, gt.ndim))
+            scale = jax.lax.stop_gradient(jnp.mean(jnp.abs(gt), axis=axes)) + 1e-3
+            shape = (-1,) + (1,) * (gt.ndim - 1)
             w = (1.0 / scale).reshape(shape)
-            output = output * w
-            target = target * w
+            gt = gt * w
+            rec = rec * w
+        output, target = gt, rec
         total = 0.0
         for s in range(self.scales):
             rate = 2**s

@@ -79,7 +79,10 @@ class ADMMNet(nn.Module):
             else:
                 z = denoise(x + u1)
             rhs = fourier.rfft2(rho1 * (z - u1) + rho2 * fourier.conv_fft(Ht, v - u2))
-            x = fourier.irfft2(rhs / (rho1 + rho2 * HtH), shape)
+            # reference ADMMNet.py:16 pairs rho1 with |H|^2 in the
+            # denominator (same quirk as the shadowed Unrolled_ADMM X_Update;
+            # numerically identical at the rho1 == rho2 = 0.5 defaults)
+            x = fourier.irfft2(rhs / (rho1 * HtH + rho2), shape)
             u1 = u1 + x - z
             u2 = u2 + fourier.conv_fft(H, x) - v
 

@@ -11,8 +11,18 @@ Poisson proximal map solved in closed form.  The Poisson path returns
 Update order per iteration (v, z, x then duals):
     v = prox_likelihood(H x + u2)              (Poisson quadratic / Gaussian average)
     z = denoiser(x + u1)                       (PnP)  or soft-threshold (l1)
-    x = F^-1( F(rho1 (z-u1) + rho2 Ht(v-u2)) / (rho1 + rho2 |H|^2) )
+    x = F^-1( F(rho1 (z-u1) + rho2 Ht(v-u2)) / (rho1 |H|^2 + rho2) )
     u1 += x - z ;  u2 += H x - v
+
+X-update quirk, preserved (load-bearing for transplanted weights): the
+reference file defines ``X_Update`` twice; the second definition
+(``models/Unrolled_ADMM.py:311-319``) *shadows* the first (``:93-101``) at
+import time, so the model actually evaluated by ``test.py`` divides by
+``rho1*|H|^2 + rho2`` — the rho roles in the denominator are swapped
+relative to the textbook ADMM x-update that the numerator implies (and
+relative to the first, never-used definition).  SubNet is trained through
+this update, so its rho schedule compensates; reproducing the first
+definition instead changes outputs by several percent per iteration.
 
 The non-PnP z-update is an l1 soft-threshold with a learnable ``lam``
 (the reference references an undefined ``lam`` at this call site —
@@ -96,7 +106,9 @@ class UnrolledADMM(nn.Module):
                 v = v_update_gaussian(Hx + u2, y / alpha, rho2)
             z = denoise(x + u1, rho1)
             rhs = fourier.rfft2(rho1 * (z - u1) + rho2 * fourier.conv_fft(Ht, v - u2))
-            x = fourier.irfft2(rhs / (rho1 + rho2 * HtH), shape)
+            # NB: rho1 pairs with |H|^2 here (shadowed X_Update, see module
+            # docstring), not the rho2 the numerator would suggest.
+            x = fourier.irfft2(rhs / (rho1 * HtH + rho2), shape)
             u1 = u1 + x - z
             u2 = u2 + fourier.conv_fft(H, x) - v
 

@@ -115,7 +115,7 @@ def fit(
     tr_idx, va_idx = train_val_indices(len(dataset), train_val_split, seed)
     place = (lambda b: b) if mesh is None else _make_placer(mesh)
 
-    history = {"train_loss": [], "val_loss": [], "epoch_time": []}
+    history = {"train_loss": [], "val_loss": [], "epoch_time": [], "best_step": 0}
     val_loss_min, epoch_min = float("inf"), 0
 
     def run_val():
@@ -157,10 +157,19 @@ def fit(
             if val_loss < val_loss_min or (epoch + 1) % 5 == 0:
                 if val_loss < val_loss_min:
                     val_loss_min, epoch_min = val_loss, epoch
+                    # checkpoint-name epoch of the best-val save, consumed by
+                    # checkpoint.best_epoch so eval loads best-val by default
+                    history["best_step"] = epoch + 1 + pretrained_epochs
                 if save_path:
                     save_checkpoint(save_path, model_name, epoch + 1 + pretrained_epochs, state)
 
     history["best_epoch"] = epoch_min
+    if save_path:
+        import json
+        import pathlib
+
+        with open(pathlib.Path(save_path) / f"{model_name}_history.json", "w") as f:
+            json.dump(history, f)
     return state, history
 
 

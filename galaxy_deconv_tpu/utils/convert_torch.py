@@ -169,6 +169,104 @@ def convert_resunet_state_dict(sd: Mapping, prefix: str = "", num_blocks: int = 
     return params
 
 
+# ---------------------------------------------------------------------------
+# SubNet  (reference models/unrolled_admm_gaussian.py:43-71 /
+#          models/Unrolled_ADMM.py:59-90 -> nets.subnet.SubNet)
+# ---------------------------------------------------------------------------
+
+
+def _subnet_first_dense_kernel(w) -> np.ndarray:
+    """First MLP Linear of SubNet: torch (64, 16*8*8+1) -> flax (1025, 64).
+
+    The torch net flattens the conv output in CHW order
+    (``x.view(N, 1, 16*8*8)`` from an (N, 16, 8, 8) tensor); flax flattens
+    NHWC in HWC order, so the input columns must be re-ordered in addition
+    to the usual transpose.  The trailing alpha column stays last.
+    """
+    w = _np(w)  # (out, in)
+    n_feat = w.shape[1] - 1  # 16*8*8, + 1 alpha
+    c, h, wd = 16, 8, 8
+    assert n_feat == c * h * wd, w.shape
+    j = np.arange(n_feat)
+    hh, ww, cc = j // (wd * c), (j // c) % wd, j % c  # flax HWC unflatten
+    perm = np.concatenate([cc * (h * wd) + hh * wd + ww, [n_feat]])  # torch CHW index
+    return w[:, perm].T
+
+
+def convert_subnet_state_dict(sd: Mapping, prefix: str = "") -> tuple[dict, dict]:
+    """Reference SubNet state_dict -> (params, batch_stats) subtrees.
+
+    Layout: 4 x Down(maxpool + DoubleConv[conv BN relu conv BN relu]) then a
+    3-layer MLP.  Both the Gaussian (n outputs) and Poisson (2n outputs)
+    SubNets share this structure.
+    """
+    params: dict = {}
+    stats: dict = {}
+    for i in range(4):
+        base = f"{prefix}conv_layers.{i}.maxpool_conv.1.double_conv"
+        p: dict = {"Conv_0": {"kernel": conv_kernel(sd[f"{base}.0.weight"]), "bias": _np(sd[f"{base}.0.bias"])}}
+        s: dict = {}
+        p["BatchNorm_0"], s["BatchNorm_0"] = _bn(sd, f"{base}.1")
+        p["Conv_1"] = {"kernel": conv_kernel(sd[f"{base}.3.weight"]), "bias": _np(sd[f"{base}.3.bias"])}
+        p["BatchNorm_1"], s["BatchNorm_1"] = _bn(sd, f"{base}.4")
+        params[f"DoubleConv_{i}"] = p
+        stats[f"DoubleConv_{i}"] = s
+    params["Dense_0"] = {
+        "kernel": _subnet_first_dense_kernel(sd[f"{prefix}mlp.0.weight"]),
+        "bias": _np(sd[f"{prefix}mlp.0.bias"]),
+    }
+    params["Dense_1"] = {"kernel": dense_kernel(sd[f"{prefix}mlp.2.weight"]), "bias": _np(sd[f"{prefix}mlp.2.bias"])}
+    params["Dense_2"] = {"kernel": dense_kernel(sd[f"{prefix}mlp.4.weight"]), "bias": _np(sd[f"{prefix}mlp.4.bias"])}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Whole solvers
+# ---------------------------------------------------------------------------
+
+
+def convert_unrolled_admm_gaussian_state_dict(sd: Mapping) -> dict:
+    """Reference UnrolledADMMGaussian (flagship) state_dict -> flax variables
+    for :class:`~galaxy_deconv_tpu.models.UnrolledADMMGaussian`.
+
+    Reference attribute layout (models/unrolled_admm_gaussian.py:96-109):
+    ``init`` = SubNet, ``Z.net`` = ResUNet(nc=[32,64,128,256]); the X update
+    has no parameters.
+    """
+    sub_p, sub_s = convert_subnet_state_dict(sd, prefix="init.")
+    return {
+        "params": {"SubNet_0": sub_p, "ResUNet_0": convert_resunet_state_dict(sd, prefix="Z.net.")},
+        "batch_stats": {"SubNet_0": sub_s},
+    }
+
+
+def convert_unrolled_admm_state_dict(sd: Mapping, denoiser: str = "ResUNet") -> dict:
+    """Reference (Poisson/Gaussian two-dual) Unrolled_ADMM state_dict ->
+    flax variables for :class:`~galaxy_deconv_tpu.models.UnrolledADMM`
+    (reference models/Unrolled_ADMM.py:153-175: ``init`` = SubNet with 2n
+    outputs, ``Z.net`` = ResUNet(nc=[64,128,256,512]) or XDenseUNet)."""
+    sub_p, sub_s = convert_subnet_state_dict(sd, prefix="init.")
+    params: dict = {"SubNet_0": sub_p}
+    stats: dict = {"SubNet_0": sub_s}
+    if denoiser == "ResUNet":
+        params["ResUNet_0"] = convert_resunet_state_dict(sd, prefix="Z.net.")
+    else:
+        d_p, d_s = convert_xdense_state_dict(sd, prefix="Z.net.")
+        params["XDenseUNet_0"] = d_p
+        stats["XDenseUNet_0"] = d_s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_admmnet_state_dict(sd: Mapping, denoiser: str = "ResUNet") -> dict:
+    """Reference ADMMNet state_dict -> flax variables for
+    :class:`~galaxy_deconv_tpu.models.ADMMNet` (reference models/ADMMNet.py:
+    78-96: the only parameters are the frozen denoiser under ``Z.net``)."""
+    if denoiser == "ResUNet":
+        return {"params": {"ResUNet_0": convert_resunet_state_dict(sd, prefix="Z.net.")}}
+    d_p, d_s = convert_xdense_state_dict(sd, prefix="Z.net.")
+    return {"params": {"XDenseUNet_0": d_p}, "batch_stats": {"XDenseUNet_0": d_s}}
+
+
 def load_reference_tikhonet(pth_path: str) -> dict:
     """Load a reference Tikhonet/ShapeNet .pth checkpoint as flax variables."""
     import torch  # migration-only dependency

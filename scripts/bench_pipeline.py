@@ -46,7 +46,9 @@ def main():
         t0 = time.time()
         for i in range(args.repeats):
             out = sim(jax.random.PRNGKey(i))
-        jax.block_until_ready(out)
+        # device->host fetch fences execution even over the tunneled backend,
+        # where block_until_ready can return early (DESIGN.md risk #10)
+        jax.tree.map(np.asarray, out)
         dt = (time.time() - t0) / args.repeats
         print(f"simulate_batch B={B}: {B / dt:,.0f} gal/s ({dt * 1e3:.1f} ms/batch)")
 
@@ -66,6 +68,7 @@ def main():
             for b in iterate_batches(ds, B, shuffle=True, seed=0):
                 arrs = jax.device_put((b["obs"], b["psf"], b["alpha"], b["gt"]))
                 jax.block_until_ready(arrs)
+            np.asarray(arrs[0][0, 0])  # fence the final transfer to the host
             h2d_dt = time.time() - t0
             print(f"dataset read B={B}: {n / host_dt:,.0f} gal/s host, "
                   f"{n / h2d_dt:,.0f} gal/s incl. device_put")

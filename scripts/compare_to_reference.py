@@ -40,11 +40,18 @@ METHOD_MAP = {
 
 
 def median_errs(root: pathlib.Path, method: str, gt_method: str, snrs) -> dict:
+    """Median |Δg| per SNR, following the reference notebook's formula.
+
+    gt_shear is read per SNR from the method's own results when present,
+    falling back to ``gt_method``'s entry for the same SNR (the notebook
+    sources it from No_Deconv's file; it differs slightly across SNRs).
+    """
     res = json.load(open(root / method / "results.json"))
-    gt = np.array(json.load(open(root / gt_method / "results.json"))[str(snrs[0])]["gt_shear"])
+    gt_res = json.load(open(root / gt_method / "results.json"))
     out = {}
     for snr in snrs:
         rec = np.array(res[str(snr)]["rec_shear"])
+        gt = np.array(res[str(snr)].get("gt_shear") or gt_res[str(snr)]["gt_shear"])
         n = min(len(rec), len(gt))
         out[snr] = float(np.median(np.minimum(np.abs(rec[:n] - gt[:n]), 1)[:, 2]))
     t = res.get("time")

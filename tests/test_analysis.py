@@ -79,6 +79,7 @@ class TestGalleryAndTrace:
         plot_reconstruction_grid({"observed": obs, "gt": obs * 0.5}, save_to=str(out))
         assert out.exists() and out.stat().st_size > 0
 
+    @pytest.mark.slow
     def test_admm_trace_figure(self, rng, tmp_path):
         """End to end: run the flagship in analysis mode, plot its trace."""
         import jax

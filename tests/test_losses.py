@@ -90,6 +90,7 @@ class TestBestEllipse:
         assert l_same < 1e-4
         assert l_same <= l_close < l_far
 
+    @pytest.mark.slow
     def test_grad_finite(self):
         tgt = jnp.asarray(gaussian_blob(24, 24, 6, 4)[None])
         out = jnp.asarray(gaussian_blob(25, 23, 5, 5)[None])

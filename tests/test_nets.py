@@ -69,6 +69,8 @@ class TestSubNet:
 
 
 class TestXDenseUNet:
+    pytestmark = pytest.mark.slow
+
     def test_param_count_and_shape(self, key):
         net = XDenseUNet()
         v = net.init(key, jnp.zeros((1, 48, 48, 1)))

@@ -32,6 +32,7 @@ class TestDenoiseTask:
 
 
 class TestOnlineTraining:
+    @pytest.mark.slow
     def test_fused_step_runs_and_learns(self):
         model = UnrolledADMMGaussian(n_iters=2, features=(4, 8, 8, 8))
         from galaxy_deconv_tpu.data.simulate import simulate_batch
@@ -47,6 +48,7 @@ class TestOnlineTraining:
         assert np.isfinite(losses).all()
         assert int(state.step) == 6
 
+    @pytest.mark.slow
     def test_scan_matches_sequential_steps(self):
         """k fused (lax.scan) steps == k one-step calls: same params, same losses."""
         from galaxy_deconv_tpu.data.simulate import simulate_batch
@@ -77,6 +79,7 @@ class TestOnlineTraining:
                      seq_state.params, scan_state.params)
         assert int(scan_state.step) == 4
 
+    @pytest.mark.slow
     def test_fit_online_steps_per_call(self, tmp_path):
         from galaxy_deconv_tpu.train.online import fit_online
 
@@ -106,6 +109,8 @@ class TestOnlineTraining:
 
 
 class TestFailureContainment:
+    pytestmark = pytest.mark.slow
+
     def test_nonfinite_loss_skips_update(self):
         """A batch that produces a NaN loss must leave params untouched."""
         import jax.numpy as jnp
@@ -156,6 +161,8 @@ class TestFailureContainment:
 
 
 class TestDeviceResident:
+    pytestmark = pytest.mark.slow
+
     def test_fit_device_resident(self, tmp_path):
         from galaxy_deconv_tpu.data import generate_dataset, GalaxyDataset
         from galaxy_deconv_tpu.train.device_resident import fit_device_resident
@@ -234,6 +241,7 @@ class TestStallWatchdog:
             assert dog._thread is None
             dog.beat()
 
+    @pytest.mark.slow
     def test_fit_online_runs_with_watchdog(self, tmp_path):
         """Integration: the default-on watchdog wraps a real tiny run and
         does not misfire on normal progress (incl. compile time)."""

@@ -57,6 +57,7 @@ class TestDataParallelTraining:
         state, optimizer = create_train_state(model, jax.random.PRNGKey(0), batch, opt)
         return model, state, optimizer, batch
 
+    @pytest.mark.slow
     def test_sharded_step_matches_single_device(self, setup, mesh):
         model, state, optimizer, batch = setup
         loss_fn = MultiScaleLoss()
@@ -98,6 +99,7 @@ class TestDataParallelTraining:
         )(w, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(g_shmap), np.asarray(g_global), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_loss_decreases(self, setup):
         model, state, optimizer, batch = setup
         # denoising-style target: gt = obs so the net must learn identity-ish
@@ -113,6 +115,7 @@ class TestDataParallelTraining:
         assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_multiprocess_dp_training():
     """True 2-process distributed DP training (gloo over localhost = the
     N>=2-hosts leg): per-process local feeding must reproduce the

@@ -100,6 +100,7 @@ class TestUnrolledADMMGaussian:
         rec = model.apply(v, batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]]))
         assert np.isfinite(np.asarray(rec)).all()
 
+    @pytest.mark.slow
     def test_gradients_flow(self, small_model, vars_, stamps):
         obs = batchify(stamps["obs"])
         psf = batchify(stamps["psf"])

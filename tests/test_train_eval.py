@@ -48,6 +48,7 @@ def tiny_model():
 
 
 class TestFit:
+    @pytest.mark.slow
     def test_two_epochs_and_checkpoint(self, root, tiny_model, tmp_path):
         ds = GalaxyDataset(root, "train")
         sample = ds.batch(np.arange(4))
