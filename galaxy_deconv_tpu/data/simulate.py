@@ -88,6 +88,30 @@ class SimulationConfig:
     snr_min: float = 18.0
     snr_max: float = 220.0
     snr_power: float = 0.7  # p(snr) ∝ snr^-power
+    # parametric-galaxy population (the COSMOS stand-in): half-light radius
+    # log-uniform on [hlr_min, hlr_max] arcsec, Sersic index uniform on
+    # [sersic_n_min, sersic_n_max], intrinsic axis ratio uniform on
+    # [q_int_min, 1].  Calibrated so the measured gt/obs shear statistics of
+    # the benchmark match the reference's results_200 population (see
+    # scripts/calibrate_population.py and RESULTS.md).
+    hlr_min: float = 0.12
+    hlr_max: float = 0.7
+    sersic_n_min: float = 0.5
+    sersic_n_max: float = 1.5
+    q_int_min: float = 0.25
+    # two-component option: a diffuse exponential envelope around the
+    # shape-bearing core (COSMOS real galaxies pair clumpy cores with
+    # low-surface-brightness disks; the envelope carries photons — raising
+    # flux at fixed ||gt||_2, i.e. at fixed nominal SNR — while the core
+    # sets the small-scale shape that seeing dilutes).  env_frac is the
+    # envelope's flux fraction (sampled uniform on [min, max]),
+    # env_size_ratio its half-light radius relative to the core's, and
+    # env_ellip_ratio scales the envelope's intrinsic ellipticity relative
+    # to the core's (1 = same shape, 0 = round halo).
+    env_frac_min: float = 0.0
+    env_frac_max: float = 0.8
+    env_size_ratio: float = 4.0
+    env_ellip_ratio: float = 0.5
 
     @property
     def n_hi(self) -> int:
@@ -297,6 +321,16 @@ def render_galaxy(params: dict, cfg: SimulationConfig) -> jnp.ndarray:
     ns = params["sersic_n"]
     re = params["half_light_radius"]
     gal = jnp.exp(-_sersic_b(ns) * ((r / re + 1e-12) ** (1.0 / ns) - 1.0))
+    gal = gal / gal.sum()
+
+    # optional diffuse exponential envelope (see SimulationConfig)
+    if cfg.env_frac_max > 0.0:
+        qe = 1.0 - (1.0 - q) * cfg.env_ellip_ratio
+        re_env = cfg.env_size_ratio * re
+        r_env = jnp.sqrt((u * jnp.sqrt(qe)) ** 2 + (v / jnp.sqrt(qe)) ** 2)
+        env = jnp.exp(-_sersic_b(1.0) * (r_env / re_env + 1e-12 - 1.0))
+        frac = params["env_frac"]
+        gal = (1.0 - frac) * gal + frac * env / env.sum()
 
     # HST-like Gaussian pre-convolution (stand-in for the COSMOS HST PSF)
     sigma_hst = cfg.hst_fwhm / 2.3548
@@ -368,12 +402,15 @@ def sample_params(key: jax.Array, n: int, cfg: SimulationConfig) -> dict:
         dy=u(ks[19], -1.0, 1.0),
         snr=snr,
         # parametric-galaxy intrinsics (this framework's COSMOS stand-in)
-        sersic_n=u(jax.random.fold_in(key, 101), 0.8, 4.0),
-        half_light_radius=jnp.exp(u(jax.random.fold_in(key, 102), np.log(0.08), np.log(0.6))),
+        sersic_n=u(jax.random.fold_in(key, 101), cfg.sersic_n_min, cfg.sersic_n_max),
+        half_light_radius=jnp.exp(
+            u(jax.random.fold_in(key, 102), np.log(cfg.hlr_min), np.log(cfg.hlr_max))
+        ),
         # axis-ratio range chosen so the measured gt |g| distribution matches
         # the reference benchmark's (median ~0.16, p90 ~0.4 — the COSMOS
         # population as seen by FPFS in results_200/No_Deconv gt_shear)
-        q_int=u(jax.random.fold_in(key, 103), 0.45, 1.0),
+        q_int=u(jax.random.fold_in(key, 103), cfg.q_int_min, 1.0),
+        env_frac=u(jax.random.fold_in(key, 105), cfg.env_frac_min, cfg.env_frac_max),
         phi_int=u(jax.random.fold_in(key, 104), 0.0, 2 * np.pi),
     )
 

@@ -14,6 +14,7 @@ from galaxy_deconv_tpu.metrics.adaptive_moments import (
     estimate_shear_adaptive,
     estimate_shear_ngmix_reference,
 )
+from galaxy_deconv_tpu.metrics.fpfs_numpy import estimate_shear_numpy
 from galaxy_deconv_tpu.metrics.psnr import psnr
 from galaxy_deconv_tpu.metrics.shear import (
     delta_psf,
@@ -29,6 +30,7 @@ __all__ = [
     "estimate_shear_ngmix_reference",
     "estimate_shear",
     "estimate_shear_fpfs_reference",
+    "estimate_shear_numpy",
     "fpfs_moments",
     "psnr",
 ]
