@@ -61,6 +61,46 @@ def _down(x: np.ndarray, rate: int) -> np.ndarray:
     return x.reshape(H // rate, rate, W // rate, rate).mean(axis=(1, 3))
 
 
+def observe_numpy(gal_hi: np.ndarray, psf_hi: np.ndarray, sigma: float, snr: float,
+                  rng: np.random.Generator, upsample: int = 4):
+    """The pure-NumPy observation core (reference generate_data.py:241-257):
+    scale flux so ||down(gt)||_2 = snr * sigma, FFT-convolve at high
+    resolution, downsample, clip negatives, add Gaussian noise.
+
+    Returns (obs, gt) at the downsampled (fov) resolution.  Testable
+    without galsim — the galsim entry point routes through this.
+    """
+    gal_down = _down(gal_hi, upsample)
+    alpha = snr * sigma / np.sqrt((gal_down**2).sum())
+    gt_hi = alpha * gal_hi
+    conv = np.fft.ifftshift(np.fft.irfft2(np.fft.rfft2(psf_hi) * np.fft.rfft2(gt_hi), gt_hi.shape)).real
+    conv = np.maximum(_down(conv, upsample), 0.0)
+    obs = (conv + rng.normal(0.0, sigma, conv.shape)).astype(np.float32)
+    return obs, _down(gt_hi, upsample).astype(np.float32)
+
+
+def write_packed_dataset(root, stores, variants, perturbed, meta) -> pathlib.Path:
+    """Write the packed .npy layout consumed by
+    :class:`galaxy_deconv_tpu.data.GalaxyDataset` (pure NumPy; testable
+    without galsim)."""
+    root = pathlib.Path(root)
+    for split, fields in stores.items():
+        d = root / split
+        d.mkdir(parents=True, exist_ok=True)
+        for name, arrs in fields.items():
+            np.save(d / f"{name}.npy", np.stack(arrs))
+        n = len(fields["obs"])
+        obs_arr = np.stack(fields["obs"])
+        np.save(d / "alpha.npy", obs_arr.mean(axis=(1, 2)).astype(np.float32))
+        for name in ("snr", "gal_g1", "gal_g2"):
+            np.save(d / f"{name}.npy", np.zeros(n, np.float32))
+    for name, arrs in {**variants, **perturbed}.items():
+        np.save(root / "test" / f"{name}.npy", np.stack(arrs))
+    with open(root / "info.json", "w") as f:
+        json.dump(meta, f)
+    return root
+
+
 def generate_cosmos_dataset(
     data_path,
     cosmos_dir: str,
@@ -134,12 +174,7 @@ def generate_cosmos_dataset(
         gal_hi = np.maximum(img.array.astype(np.float32), 0.0)
 
         def observe(snr_val, rng_np):
-            gal_down = _down(gal_hi, upsample)
-            alpha = snr_val * sigma / np.sqrt((gal_down**2).sum())
-            gt_hi = alpha * gal_hi
-            conv = np.fft.ifftshift(np.fft.irfft2(np.fft.rfft2(psf_hi) * np.fft.rfft2(gt_hi), gt_hi.shape)).real
-            conv = np.maximum(_down(conv, upsample), 0.0)
-            return (conv + rng_np.normal(0.0, sigma, conv.shape)).astype(np.float32), _down(gt_hi, upsample)
+            return observe_numpy(gal_hi, psf_hi, sigma, snr_val, rng_np, upsample)
 
         rng_np = np.random.default_rng(seed + k)
         obs, gt = observe(rng_snr(), rng_np)
@@ -166,23 +201,7 @@ def generate_cosmos_dataset(
                     _down(_draw_psf(galsim, p, fov_pixels, pixel_scale, upsample, fwhm=f), upsample)
                 )
 
-    for split, fields in stores.items():
-        d = root / split
-        d.mkdir(parents=True, exist_ok=True)
-        for name, arrs in fields.items():
-            np.save(d / f"{name}.npy", np.stack(arrs))
-        n = len(fields["obs"])
-        obs_arr = np.stack(fields["obs"])
-        np.save(d / "alpha.npy", obs_arr.mean(axis=(1, 2)).astype(np.float32))
-        for name in ("snr", "gal_g1", "gal_g2"):
-            np.save(d / f"{name}.npy", np.zeros(n, np.float32))
-    for name, arrs in {**variants, **perturbed}.items():
-        np.save(root / "test" / f"{name}.npy", np.stack(arrs))
-    with open(root / "info.json", "w") as f:
-        json.dump(
-            dict(n_train=n_train, n_test=n_test, fov_pixels=fov_pixels, pixel_scale=pixel_scale,
-                 upsample=upsample, seed=seed, snrs=list(snrs), shear_errs=list(shear_errs),
-                 fwhm_errs=list(fwhm_errs), generator="galsim/COSMOS"),
-            f,
-        )
-    return root
+    meta = dict(n_train=n_train, n_test=n_test, fov_pixels=fov_pixels, pixel_scale=pixel_scale,
+                upsample=upsample, seed=seed, snrs=list(snrs), shear_errs=list(shear_errs),
+                fwhm_errs=list(fwhm_errs), generator="galsim/COSMOS")
+    return write_packed_dataset(root, stores, variants, perturbed, meta)

@@ -12,11 +12,15 @@ where ``psu = Psi^*(U)`` are the six moment-constraint matrices U1..U6
 shearlet filter bank, and ``mu`` are per-filter normalization weights.
 
 The constants are precomputed once at construction (as the reference does
-at loss init).  The shearlet bank comes from the optional AlphaTransform
-package when installed; otherwise a built-in isotropic
-difference-of-Gaussians pyramid stands in as the filter bank (same API,
-documented deviation — AlphaTransform is not a baked-in dependency).
-Precomputed constants can also be supplied directly (``psu=``, ``mu=``).
+at loss init).  The default filter bank is the built-in cone-adapted
+Meyer shearlet system (:mod:`galaxy_deconv_tpu.losses.shearlets`) — the
+same construction family as the reference's AlphaTransform(alpha=0.5,
+real, parseval) bank, with exact tightness and real filters.  When the
+optional AlphaTransform package is installed its bank is used instead
+(``bank='alpha'`` forces it); ``bank='dog'`` selects the legacy isotropic
+difference-of-Gaussians stand-in (kept for comparability with runs that
+used it).  Precomputed constants can also be supplied directly
+(``psu=``, ``mu=``).
 """
 
 from __future__ import annotations
@@ -67,20 +71,37 @@ def _convolve_same(img: np.ndarray, kernel: np.ndarray) -> np.ndarray:
 
 
 def compute_psu_mu(
-    fov_pixels: int, n_shearlet: int = 2, bank: Optional[np.ndarray] = None
+    fov_pixels: int, n_shearlet: int = 2, bank: "Optional[np.ndarray | str]" = None
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Precompute psu = Psi^*(U) (6, S, H, W) and mu (6, S) weights."""
-    U = make_u(fov_pixels, fov_pixels)
-    if bank is None:
-        try:  # optional dependency, as in the reference
-            from AlphaTransform import AlphaShearletTransform as AST  # type: ignore
+    """Precompute psu = Psi^*(U) (6, S, H, W) and mu (6, S) weights.
 
-            trafo = AST(fov_pixels, fov_pixels, [0.5] * n_shearlet, real=True, parseval=True, verbose=False)
-            adj = np.array(
-                [_adjoint_filter(trafo, s, fov_pixels) for s in range(len(trafo.indices))]
-            )
-        except ImportError:
-            adj = _dog_filter_bank(fov_pixels, fov_pixels, n_shearlet)
+    ``bank``: None/'shearlet' = built-in Meyer shearlet adjoints (default;
+    AlphaTransform is used instead when importable), 'alpha' = require
+    AlphaTransform, 'dog' = legacy isotropic stand-in, or an explicit
+    (S, H, W) filter array.
+    """
+    U = make_u(fov_pixels, fov_pixels)
+    if bank is None or isinstance(bank, str):
+        kind = bank or "shearlet"
+        adj = None
+        if kind in ("shearlet", "alpha"):
+            try:  # optional dependency, as in the reference
+                from AlphaTransform import AlphaShearletTransform as AST  # type: ignore
+
+                trafo = AST(fov_pixels, fov_pixels, [0.5] * n_shearlet, real=True, parseval=True, verbose=False)
+                adj = np.array(
+                    [_adjoint_filter(trafo, s, fov_pixels) for s in range(len(trafo.indices))]
+                )
+            except ImportError:
+                if kind == "alpha":
+                    raise
+        if adj is None:
+            if kind == "dog":
+                adj = _dog_filter_bank(fov_pixels, fov_pixels, n_shearlet)
+            else:
+                from galaxy_deconv_tpu.losses.shearlets import shearlet_spatial_filters
+
+                adj = shearlet_spatial_filters(fov_pixels, fov_pixels, n_shearlet)
     else:
         adj = bank
     adj = np.stack([f / (np.linalg.norm(f) + 1e-12) for f in adj])
@@ -109,9 +130,10 @@ class ShapeConstraint:
         n_shearlet: int = 2,
         psu: Optional[np.ndarray] = None,
         mu: Optional[np.ndarray] = None,
+        bank: "Optional[np.ndarray | str]" = None,
     ):
         if psu is None or mu is None:
-            psu, mu = compute_psu_mu(fov_pixels, n_shearlet)
+            psu, mu = compute_psu_mu(fov_pixels, n_shearlet, bank=bank)
         self.gamma = gamma
         self.psu = jnp.asarray(psu)  # (6, S, H, W)
         self.mu = jnp.asarray(mu)  # (6, S)

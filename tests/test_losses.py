@@ -117,6 +117,51 @@ class TestShapeConstraint:
         assert np.isfinite(np.asarray(g)).all()
 
 
+class TestShearletBank:
+    """The built-in cone-adapted Meyer shearlet system that replaces the
+    reference's AlphaTransform(alpha=0.5, real, parseval) bank."""
+
+    def test_parseval_tightness(self):
+        from galaxy_deconv_tpu.losses.shearlets import shearlet_bank_fourier
+
+        bank = shearlet_bank_fourier(48, 48, 2)
+        total = (bank**2).sum(axis=0)
+        np.testing.assert_allclose(total, 1.0, atol=1e-12)
+
+    def test_perfect_reconstruction(self, rng):
+        from galaxy_deconv_tpu.losses.shearlets import analysis, synthesis
+
+        x = rng.standard_normal((48, 48))
+        np.testing.assert_allclose(synthesis(analysis(x)), x, atol=1e-12)
+
+    def test_directionality(self):
+        """Shear filters must be anisotropic (the property the DoG stand-in
+        lacked) and the spatial filters exactly real by symmetry."""
+        from galaxy_deconv_tpu.losses.shearlets import shearlet_bank_fourier
+
+        bank = shearlet_bank_fourier(48, 48, 2)
+        fy = np.fft.fftfreq(48)[:, None]
+        fx = np.fft.fftfreq(48)[None, :]
+        ratios = []
+        for m in bank[1:]:
+            iy = (m**2 * fy**2).sum()
+            ix = (m**2 * fx**2).sum()
+            ratios.append(max(iy, ix) / max(min(iy, ix), 1e-12))
+        assert np.median(ratios) > 1.5 and np.max(ratios) > 10
+
+    def test_default_shape_constraint_uses_shearlets(self):
+        psu, mu = __import__(
+            "galaxy_deconv_tpu.losses.shape_constraint", fromlist=["compute_psu_mu"]
+        ).compute_psu_mu(48, 2)
+        assert psu.shape == (6, 17, 48, 48)
+        assert mu.shape == (6, 17)
+        # the legacy DoG stand-in remains an explicit opt-in with 3 filters
+        psu_d, _ = __import__(
+            "galaxy_deconv_tpu.losses.shape_constraint", fromlist=["compute_psu_mu"]
+        ).compute_psu_mu(48, 2, bank="dog")
+        assert psu_d.shape[1] == 3
+
+
 class TestNaming:
     def test_reference_scheme(self):
         assert get_model_name("Unrolled_ADMM", "MultiScale") == "Gaussian_PnP_ADMM_8iters_MultiScale"
