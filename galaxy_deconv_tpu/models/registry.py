@@ -31,6 +31,11 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     "ShapeNet": lambda **kw: Tikhonet(filter="Laplacian", **kw),
     "Unrolled_ADMM": UnrolledADMM,
     "Unrolled_ADMM_Gaussian": lambda **kw: UnrolledADMMGaussian(**kw),
+    # bounded-rho schedule (every unrolled iteration stays active; see
+    # UnrolledADMMGaussian.rho_bounds)
+    "Unrolled_ADMM_Gaussian_Bounded": lambda **kw: UnrolledADMMGaussian(
+        rho_bounds=kw.pop("rho_bounds", (0.1, 10.0)), **kw
+    ),
     "ADMMNet": ADMMNet,
     # scale-matched frozen-denoiser variant (fixes the reference's
     # train/inference input-scale quirk; see models/admmnet.py docstring)

@@ -65,6 +65,13 @@ class UnrolledADMMGaussian(nn.Module):
     features: Sequence[int] = (32, 64, 128, 256)
     subnet: bool = True
     analysis: bool = False
+    # Optional (lo, hi) log-space bounds on the SubNet rho schedule:
+    # rho = lo * (hi/lo)^sigmoid(logit).  The reference-parity default
+    # (None -> Softplus + 1e-6) lets online training drive rho to a
+    # degenerate schedule (rho ~ 1e-6 at most iterations, 1e2-1e3 spikes at
+    # two — see RESULTS.md "rho schedule"), which collapses the unrolled
+    # depth to ~2 effective steps.  Bounding keeps every iteration active.
+    rho_bounds: "tuple[float, float] | None" = None
     dtype: Any = jnp.float32
     # Route the x-update's pointwise spectral solve through the fused Pallas
     # kernel (ops.pallas_kernels; batch-last lane layout).  Inference-only:
@@ -80,7 +87,11 @@ class UnrolledADMMGaussian(nn.Module):
 
         Y, Ht, HtH = gaussian_spectra(y, psf)
 
-        if self.subnet:
+        if self.subnet and self.rho_bounds is not None:
+            lo, hi = self.rho_bounds
+            logits = SubNet(n_outputs=self.n_iters, raw=True, dtype=self.dtype)(psf, alpha, train=train)
+            rho_iters = lo * (hi / lo) ** nn.sigmoid(logits)  # (B, n) in [lo, hi]
+        elif self.subnet:
             rho_iters = SubNet(n_outputs=self.n_iters, dtype=self.dtype)(psf, alpha, train=train)  # (B, n)
         else:
             rho_vec = self.param("rho_iters", nn.initializers.ones, (self.n_iters,))

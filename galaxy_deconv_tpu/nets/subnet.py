@@ -36,10 +36,16 @@ def psf_power_spectrum(psf: jnp.ndarray, size: int = 128) -> jnp.ndarray:
 
 
 class SubNet(nn.Module):
-    """PSF power spectrum + alpha -> ``n_outputs`` positive scalars per sample."""
+    """PSF power spectrum + alpha -> ``n_outputs`` positive scalars per sample.
+
+    ``raw=True`` returns the pre-Softplus logits instead (used by the
+    bounded-rho ADMM variant, which applies its own log-space squashing;
+    reference parity keeps the default Softplus + 1e-6 head).
+    """
 
     n_outputs: int
     spectrum_size: int = 128
+    raw: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -57,5 +63,7 @@ class SubNet(nn.Module):
         x = jnp.concatenate([x, alpha[:, None]], axis=-1)
         x = nn.relu(nn.Dense(64, dtype=self.dtype)(x))
         x = nn.relu(nn.Dense(64, dtype=self.dtype)(x))
-        x = nn.softplus(nn.Dense(self.n_outputs, dtype=self.dtype)(x))
-        return x.astype(jnp.float32) + 1e-6
+        x = nn.Dense(self.n_outputs, dtype=self.dtype)(x)
+        if self.raw:
+            return x.astype(jnp.float32)
+        return nn.softplus(x).astype(jnp.float32) + 1e-6

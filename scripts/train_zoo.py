@@ -28,6 +28,16 @@ SPECS = {
     # eval-alive in test.py:42-44; train-dead there, trainable here)
     "poisson8": ("Poisson_PnP_ADMM_8iters_MultiScale", "admm_poisson", dict(n_iters=8), "MultiScale"),
     "resunet": ("ResUNet_MultiScale", "resunet", {}, "MultiScale"),
+    # bounded-rho schedule variants: every unrolled iteration stays active
+    # (rho in [0.1, 10] log-space; see UnrolledADMMGaussian.rho_bounds),
+    # countering the degenerate two-spike schedule the unconstrained SubNet
+    # converges to under long online training (RESULTS.md "rho schedule")
+    "admm8_bounded": ("Gaussian_PnP_ADMM_8iters_Bounded_MultiScale", "admm",
+                      dict(n_iters=8, rho_bounds=(0.1, 10.0)), "MultiScale"),
+    "admm4_bounded": ("Gaussian_PnP_ADMM_4iters_Bounded_MultiScale", "admm",
+                      dict(n_iters=4, rho_bounds=(0.1, 10.0)), "MultiScale"),
+    "admm2_bounded": ("Gaussian_PnP_ADMM_2iters_Bounded_MultiScale", "admm",
+                      dict(n_iters=2, rho_bounds=(0.1, 10.0)), "MultiScale"),
 }
 
 

@@ -93,6 +93,19 @@ class TestUnrolledADMMGaussian:
         assert out["x"].shape == (1, 2, 48, 48)
         assert out["rho"].shape == (1, 2, 1, 1)
 
+    def test_bounded_rho_variant(self, stamps):
+        """rho_bounds squashes the SubNet schedule into [lo, hi] so every
+        unrolled iteration stays active (anti-degeneracy training variant)."""
+        model = UnrolledADMMGaussian(
+            n_iters=2, features=(8, 16, 32, 64), rho_bounds=(0.1, 10.0), analysis=True
+        )
+        v = model.init(
+            jax.random.PRNGKey(0), batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]])
+        )
+        out = model.apply(v, batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]]))
+        rho = np.asarray(out["rho"])
+        assert (rho >= 0.1).all() and (rho <= 10.0).all()
+
     def test_no_subnet_variant(self, stamps):
         model = UnrolledADMMGaussian(n_iters=2, features=(8, 16, 32, 64), subnet=False)
         v = model.init(jax.random.PRNGKey(0), batchify(stamps["obs"]), batchify(stamps["psf"]), jnp.asarray([stamps["alpha"]]))
