@@ -512,6 +512,20 @@ def simulate_batch_denoise(key: jax.Array, n: int, cfg: SimulationConfig = Simul
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n", "cfg"))
+def simulate_batch_denoise_unit(key: jax.Array, n: int, cfg: SimulationConfig = SimulationConfig()) -> dict:
+    """Unit-scale denoising task: the same stamps as
+    :func:`simulate_batch_denoise` divided by their per-sample flux scale
+    alpha, so obs = gal + noise/alpha lives on the scale of the ADMM loop
+    variable (x in [0, 1], reference models/ADMMNet.py:96-101 init).  A
+    denoiser trained here is scale-consistent with ADMMNet's z-update
+    input x + u1 (reference ``:123``), unlike the reference's raw-ADU
+    denoise training (generate_data.py:423-431)."""
+    b = simulate_batch_denoise(key, n, cfg)
+    a = b["alpha"][:, None, None]
+    return {**b, "obs": (b["obs"] / a).astype(jnp.float32), "gt": (b["gt"] / a).astype(jnp.float32)}
+
+
 # fixed_snr is traced (0-d scalar), NOT static: one compilation serves every
 # SNR variant in the benchmark sweep
 @functools.partial(jax.jit, static_argnames=("n", "cfg"))

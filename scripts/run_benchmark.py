@@ -25,6 +25,14 @@ TRAINED_SPECS = {
     "Tikhonet_Laplacian_tpu": ("Tikhonet_Laplacian", "Tikhonet_Laplacian_MultiScale"),
     "ShapeNet_tpu": ("ShapeNet", "ShapeNet_Laplacian"),
     "Unrolled_ADMM_Poisson(8)": ("Unrolled_ADMM(8)", "Poisson_PnP_ADMM_8iters_MultiScale"),
+    # bounded-rho schedule variants (every unrolled iteration active;
+    # models/unrolled_admm_gaussian.py rho_bounds)
+    "Unrolled_ADMM_Gaussian(8)_bounded": ("Unrolled_ADMM_Gaussian_Bounded(8)",
+                                          "Gaussian_PnP_ADMM_8iters_Bounded_MultiScale"),
+    "Unrolled_ADMM_Gaussian(4)_bounded": ("Unrolled_ADMM_Gaussian_Bounded(4)",
+                                          "Gaussian_PnP_ADMM_4iters_Bounded_MultiScale"),
+    "Unrolled_ADMM_Gaussian(2)_bounded": ("Unrolled_ADMM_Gaussian_Bounded(2)",
+                                          "Gaussian_PnP_ADMM_2iters_Bounded_MultiScale"),
 }
 
 # reference shipped checkpoints transplanted through the weight converter
@@ -87,25 +95,30 @@ def main():
                 "build_name": build_name,
             }
 
-    # this framework's trained models (whatever checkpoints exist)
+    # this framework's trained models (whatever checkpoints exist), looked
+    # up in the scratch checkpoint dir first, then the committed trained/ zoo
     for result_name, (build_name, ckpt_name) in TRAINED_SPECS.items():
-        ep = best_epoch(args.ckpt, ckpt_name)
+        src, ep = args.ckpt, best_epoch(args.ckpt, ckpt_name)
+        if not ep:
+            src, ep = "trained", best_epoch("trained", ckpt_name)
         if result_name == "Unrolled_ADMM_Gaussian(8)" and args.admm8_epoch:
-            ep = args.admm8_epoch
+            src, ep = args.ckpt, args.admm8_epoch
         if not ep:
             continue
-        st = restore_checkpoint(args.ckpt, ckpt_name, ep)
+        st = restore_checkpoint(src, ckpt_name, ep)
         methods[result_name] = {
             "variables": unpack_variables(st),
             "build_name": build_name,
         }
-        print(f"loaded {result_name} from {ckpt_name} step {ep}")
+        print(f"loaded {result_name} from {src}/{ckpt_name} step {ep}")
 
     # ADMMNet: the frozen-denoiser ablation — plugs the separately trained
     # ResUNet denoiser (reference models/ADMMNet.py:51-58 training style)
-    ep = best_epoch(args.ckpt, "ResUNet_MultiScale")
+    dn_src, ep = args.ckpt, best_epoch(args.ckpt, "ResUNet_MultiScale")
+    if not ep:
+        dn_src, ep = "trained", best_epoch("trained", "ResUNet_MultiScale")
     if ep:
-        st = restore_checkpoint(args.ckpt, "ResUNet_MultiScale", ep)
+        st = restore_checkpoint(dn_src, "ResUNet_MultiScale", ep)
         params = unpack_variables(st)["params"]
         methods["ADMMNet"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
                               "build_name": "ADMMNet"}
@@ -114,6 +127,19 @@ def main():
         methods["ADMMNet_scaled"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
                                      "build_name": "ADMMNet_scaled"}
         print(f"assembled ADMMNet (+_scaled) from ResUNet_MultiScale step {ep}")
+
+    # ADMMNet_unit: same loop, but the frozen denoiser was *trained* at the
+    # loop variable's unit scale (simulate_batch_denoise_unit) — the
+    # scale-consistent design the reference's raw-ADU denoise training lacks
+    un_src, ep = args.ckpt, best_epoch(args.ckpt, "ResUNet_Unit_MultiScale")
+    if not ep:
+        un_src, ep = "trained", best_epoch("trained", "ResUNet_Unit_MultiScale")
+    if ep:
+        st = restore_checkpoint(un_src, "ResUNet_Unit_MultiScale", ep)
+        params = unpack_variables(st)["params"]
+        methods["ADMMNet_unit"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
+                                   "build_name": "ADMMNet"}
+        print(f"assembled ADMMNet_unit from ResUNet_Unit_MultiScale step {ep}")
 
     if args.only:
         methods = {k: v for k, v in methods.items() if k in args.only}
@@ -133,6 +159,7 @@ def main():
     if not args.skip_psf:
         errs = DEFAULT_PSF_ERRS
         for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Unrolled_ADMM_Gaussian(8)_cont",
+                       "Unrolled_ADMM_Gaussian(8)_bounded",
                        "Tikhonet_Laplacian", "Tikhonet_Laplacian_tpu", "ShapeNet_tpu",
                        "Unrolled_ADMM_Poisson(8)"):
             if method in methods:

@@ -28,6 +28,9 @@ SPECS = {
     # eval-alive in test.py:42-44; train-dead there, trainable here)
     "poisson8": ("Poisson_PnP_ADMM_8iters_MultiScale", "admm_poisson", dict(n_iters=8), "MultiScale"),
     "resunet": ("ResUNet_MultiScale", "resunet", {}, "MultiScale"),
+    # unit-scale denoiser: trained on stamps divided by alpha, matching the
+    # scale of ADMMNet's loop variable (simulate_batch_denoise_unit docstring)
+    "resunet_unit": ("ResUNet_Unit_MultiScale", "resunet_unit", {}, "MultiScale"),
     # bounded-rho schedule variants: every unrolled iteration stays active
     # (rho in [0.1, 10] log-space; see UnrolledADMMGaussian.rho_bounds),
     # countering the degenerate two-spike schedule the unconstrained SubNet
@@ -109,6 +112,11 @@ def main():
         elif kind == "tikhonet":
             model = Tikhonet(**kw)
             sampler = simulate_batch
+        elif kind == "resunet_unit":
+            from galaxy_deconv_tpu.data.simulate import simulate_batch_denoise_unit
+
+            model = ResUNetDenoiser()
+            sampler = simulate_batch_denoise_unit
         else:
             model = ResUNetDenoiser()
             sampler = simulate_batch_denoise

@@ -143,3 +143,23 @@ class TestDataset:
 
         info = json.load(open(root / "info.json"))
         assert info["task"] == "Denoise"
+
+
+class TestDenoiseUnitSampler:
+    def test_unit_scale_matches_raw_over_alpha(self):
+        """simulate_batch_denoise_unit is simulate_batch_denoise / alpha —
+        the ADMM loop-variable scale (models/admmnet.py docstring)."""
+        from galaxy_deconv_tpu.data.simulate import (
+            simulate_batch_denoise,
+            simulate_batch_denoise_unit,
+        )
+
+        key = jax.random.PRNGKey(3)
+        raw = jax.tree.map(np.asarray, simulate_batch_denoise(key, 6, CFG))
+        unit = jax.tree.map(np.asarray, simulate_batch_denoise_unit(key, 6, CFG))
+        a = raw["alpha"][:, None, None]
+        np.testing.assert_allclose(unit["obs"], raw["obs"] / a, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(unit["gt"], raw["gt"] / a, rtol=1e-5, atol=1e-6)
+        # gt is the unit-flux galaxy profile: peak O(1), not O(alpha)
+        assert unit["gt"].max() < 5.0
+        np.testing.assert_array_equal(unit["alpha"], raw["alpha"])
