@@ -29,7 +29,11 @@ import jax.numpy as jnp
 
 from galaxy_deconv_tpu.nets import ResUNet, XDenseUNet
 from galaxy_deconv_tpu.ops import fourier
-from galaxy_deconv_tpu.models.unrolled_admm import v_update_gaussian, v_update_poisson
+from galaxy_deconv_tpu.models.unrolled_admm import (
+    v_update_gaussian,
+    v_update_poisson,
+    v_update_poisson_exact,
+)
 
 
 class ADMMNet(nn.Module):
@@ -40,12 +44,18 @@ class ADMMNet(nn.Module):
     rho1: float = 0.5
     rho2: float = 0.5
     denoiser_scale: str = "unit"  # 'unit' = reference quirk; 'adu' = scale-matched
+    # 'reference' keeps the reference's non-prox v-update (wrong quadratic
+    # root -> a ~2*alpha/rho2 constant plane on the loop variable; see
+    # v_update_poisson docstring); 'exact' uses the true Poisson prox.
+    poisson_prox: str = "reference"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, psf: jnp.ndarray, alpha: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.denoiser_scale not in ("unit", "adu"):
             raise ValueError(f"denoiser_scale must be 'unit' or 'adu', got {self.denoiser_scale!r}")
+        if self.poisson_prox not in ("reference", "exact"):
+            raise ValueError(f"poisson_prox must be 'reference' or 'exact', got {self.poisson_prox!r}")
         B = obs.shape[0]
         shape = obs.shape[-2:]
         alpha = jnp.reshape(alpha, (B,)).astype(jnp.float32)[:, None, None]
@@ -70,7 +80,9 @@ class ADMMNet(nn.Module):
         rho1, rho2 = self.rho1, self.rho2
         for _ in range(self.n_iters):
             Hx = fourier.conv_fft(H, x)
-            if self.llh == "Poisson":
+            if self.llh == "Poisson" and self.poisson_prox == "exact":
+                v = v_update_poisson_exact(Hx + u2, y, rho2, alpha)
+            elif self.llh == "Poisson":
                 v = v_update_poisson(Hx + u2, y, rho2, alpha)
             else:
                 v = v_update_gaussian(Hx + u2, y / alpha, rho2)

@@ -40,6 +40,10 @@ MODEL_REGISTRY: dict[str, Callable[..., nn.Module]] = {
     # scale-matched frozen-denoiser variant (fixes the reference's
     # train/inference input-scale quirk; see models/admmnet.py docstring)
     "ADMMNet_scaled": lambda **kw: ADMMNet(denoiser_scale="adu", **kw),
+    # exact Poisson prox (the reference's v-update takes the wrong
+    # quadratic root — v_update_poisson docstring); this is the working
+    # PnP-with-frozen-denoiser baseline
+    "ADMMNet_fixed": lambda **kw: ADMMNet(poisson_prox="exact", **kw),
     "ResUNet": ResUNetDenoiser,
 }
 

@@ -41,9 +41,30 @@ from galaxy_deconv_tpu.ops import fourier
 
 
 def v_update_poisson(v_tilde, y, rho2, alpha):
-    """Closed-form minimizer of the Poisson negative log-likelihood prox."""
+    """The reference's Poisson v-update (models/Unrolled_ADMM.py:104-110,
+    models/ADMMNet.py:22-28), kept verbatim for transplant parity.
+
+    NOTE this is NOT the prox of the Poisson NLL: the quadratic root is
+    taken with the wrong sign (see :func:`v_update_poisson_exact`), so for
+    unit-scale ``v_tilde`` and raw-ADU ``y`` it returns v ~ 2*alpha/rho2 —
+    a constant plane that rides on the loop variable.  The *trained*
+    two-dual ADMM absorbs this (SubNet + end-to-end denoiser training),
+    but fixed-rho frozen-denoiser ADMMNet cannot, which is why the
+    reference never evaluates its own ADMMNet (test.py:220 comments it
+    out; the paper figure uses hard-coded literature numbers,
+    figures/error_snr.ipynb `admmnet_errs`)."""
     t1 = rho2 * v_tilde - alpha
     return 0.5 * (1.0 / rho2) * (-t1 + jnp.sqrt(t1**2 + 4.0 * y * rho2))
+
+
+def v_update_poisson_exact(v_tilde, y, rho2, alpha):
+    """Exact prox of the Poisson NLL ``alpha*v - y*log(alpha*v)``:
+    positive root of ``rho2*v^2 + (alpha - rho2*v_tilde)*v - y = 0``
+    (stationarity ``rho2*(v - v_tilde) + alpha - y/v = 0``).  For large
+    alpha this gives v ~ y/alpha — the unit scale the rest of the ADMM
+    loop lives on."""
+    t1 = rho2 * v_tilde - alpha
+    return 0.5 * (1.0 / rho2) * (t1 + jnp.sqrt(t1**2 + 4.0 * y * rho2))
 
 def v_update_gaussian(v_tilde, y, rho2):
     return (rho2 * v_tilde + y) / (1.0 + rho2)

@@ -126,7 +126,10 @@ def main():
         # (fixes the reference's input-scale quirk — models/admmnet.py)
         methods["ADMMNet_scaled"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
                                      "build_name": "ADMMNet_scaled"}
-        print(f"assembled ADMMNet (+_scaled) from ResUNet_MultiScale step {ep}")
+        # exact Poisson prox: the working PnP-with-frozen-denoiser baseline
+        methods["ADMMNet_fixed"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
+                                    "build_name": "ADMMNet_fixed"}
+        print(f"assembled ADMMNet (+_scaled, +_fixed) from ResUNet_MultiScale step {ep}")
 
     # ADMMNet_unit: same loop, but the frozen denoiser was *trained* at the
     # loop variable's unit scale (simulate_batch_denoise_unit) — the

@@ -187,6 +187,44 @@ class TestOtherSolvers:
         assert np.isfinite(r2).all()
         assert not np.allclose(r1, r2)
 
+    def test_poisson_prox_stationarity(self):
+        """v_update_poisson_exact solves rho*(v - v_tilde) + alpha - y/v = 0
+        (the true Poisson-NLL prox); the reference's v_update_poisson does
+        not — it takes the wrong quadratic root, returning ~2*alpha/rho at
+        realistic scales (the constant plane documented in RESULTS.md)."""
+        from galaxy_deconv_tpu.models.unrolled_admm import (
+            v_update_poisson,
+            v_update_poisson_exact,
+        )
+
+        rng = np.random.default_rng(0)
+        v_tilde = jnp.asarray(rng.uniform(0.0, 1.0, (16,)))
+        y = jnp.asarray(rng.uniform(0.0, 100.0, (16,)))
+        rho, alpha = 0.5, 50.0
+        v = np.asarray(v_update_poisson_exact(v_tilde, y, rho, alpha))
+        resid = rho * (v - np.asarray(v_tilde)) + alpha - np.asarray(y) / v
+        np.testing.assert_allclose(resid, 0.0, atol=1e-4 * alpha)  # fp32 roundoff on O(alpha) terms
+        v_ref = np.asarray(v_update_poisson(v_tilde, y, rho, alpha))
+        # the reference root sits near 2*alpha/rho regardless of y — the
+        # origin of ADMMNet's alpha-scaled pedestal
+        assert np.all(v_ref > 0.9 * alpha / rho)
+
+    def test_admmnet_fixed_kills_pedestal(self, stamps):
+        """With the exact prox, ADMMNet's empty-sky border stays near zero;
+        with the reference v-update it sits at an O(alpha)-scaled offset."""
+        from galaxy_deconv_tpu.models import build_model
+
+        obs = batchify(stamps["obs"])
+        psf = batchify(stamps["psf"])
+        a = jnp.asarray([stamps["alpha"]])
+        ref = ADMMNet(n_iters=2, features=(8, 16, 32, 64))
+        fixed = build_model("ADMMNet_fixed", n_iters=2, features=(8, 16, 32, 64))
+        v = ref.init(jax.random.PRNGKey(0), obs, psf, a)
+        border = lambda r: float(np.abs(np.asarray(r)[0, :3, :] / np.asarray(a)).mean())
+        b_ref = border(ref.apply(v, obs, psf, a))
+        b_fix = border(fixed.apply(v, obs, psf, a))
+        assert b_fix < 0.2 * b_ref, (b_fix, b_ref)
+
     def test_tikhonet(self, stamps):
         model = Tikhonet(filter="Laplacian")
         obs = batchify(stamps["obs"])
