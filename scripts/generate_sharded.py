@@ -60,6 +60,9 @@ def main():
     p.add_argument("--chunk", type=int, default=128)
     p.add_argument("--shard", type=int, default=0)
     p.add_argument("--n_shards", type=int, default=2)
+    p.add_argument("--skip_psf_errs", action="store_true",
+                   help="omit the 20+20 perturbed-PSF sets (generate them in a separate\n"
+                        "smaller dataset: they cost ~5x the rest of the test split)")
     args = p.parse_args()
 
     import jax
@@ -102,7 +105,7 @@ def main():
                 o = sim.simulate_batch_at_snr(k, n, float(snr), cfg)
                 blob[f"obs_{snr}"] = np.asarray(o["obs"], np.float32)
                 blob[f"gt_{snr}"] = np.asarray(o["gt"], np.float32)
-            for e in ERRS:
+            for e in (() if args.skip_psf_errs else ERRS):
                 blob[f"psf_shear_err_{e}"] = np.asarray(
                     sim.simulate_perturbed_psfs(k, n, cfg, shear_err=float(e)), np.float32
                 )
@@ -130,7 +133,9 @@ def main():
     info = dict(
         n_train=args.n_train, n_test=args.n_test, fov_pixels=cfg.fov_pixels,
         pixel_scale=cfg.pixel_scale, upsample=cfg.upsample, seed=args.seed,
-        snrs=list(SNRS), shear_errs=list(ERRS), fwhm_errs=list(ERRS),
+        snrs=list(SNRS),
+        shear_errs=[] if args.skip_psf_errs else list(ERRS),
+        fwhm_errs=[] if args.skip_psf_errs else list(ERRS),
         noise_sigma=sim.noise_sigma(cfg.pixel_scale),
         generator="galaxy_deconv_tpu.data.simulate",
     )
