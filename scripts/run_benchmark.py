@@ -47,6 +47,12 @@ REF_TRANSPLANTS = {
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data", default="datasets/LSST_23.5_deconv_tpu")
+    parser.add_argument("--psf_data", default=None,
+                        help="dataset root for the perturbed-PSF robustness sweeps "
+                             "(default: --data; the 10k main dataset ships without "
+                             "PSF sets — see scripts/gen_cpu_datasets.sh)")
+    parser.add_argument("--psf_n_gal", type=int, default=None,
+                        help="galaxies for the PSF sweeps (default: --n_gal)")
     parser.add_argument("--result", default="results_tpu")
     parser.add_argument("--n_gal", type=int, default=1000)
     parser.add_argument("--batch", type=int, default=250)
@@ -160,6 +166,8 @@ def main():
                           batch_size=args.batch, result_name=method, **kw)
 
     if not args.skip_psf:
+        psf_data = args.psf_data or args.data
+        psf_n_gal = args.psf_n_gal or args.n_gal
         errs = DEFAULT_PSF_ERRS
         for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Unrolled_ADMM_Gaussian(8)_cont",
                        "Unrolled_ADMM_Gaussian(8)_bounded",
@@ -169,8 +177,8 @@ def main():
                 kw = dict(methods[method])
                 build_name = kw.pop("build_name", method)
                 for kind in ("shear", "fwhm"):
-                    run_psf_error_test(build_name, args.data, args.result, errs=errs, kind=kind,
-                                       n_gal=args.n_gal, batch_size=args.batch,
+                    run_psf_error_test(build_name, psf_data, args.result, errs=errs, kind=kind,
+                                       n_gal=psf_n_gal, batch_size=args.batch,
                                        result_name=method, **kw)
 
     def replace_block(out: pathlib.Path, tag: str, content: str) -> bool:
