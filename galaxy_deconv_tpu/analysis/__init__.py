@@ -18,6 +18,7 @@ from galaxy_deconv_tpu.analysis.report import (
     plot_admm_trace,
     plot_batch_with_ellipses,
     psf_error_table,
+    summarize_cis,
     summarize_psf_results,
     summarize_psnr_results,
     summarize_results,
@@ -34,6 +35,7 @@ __all__ = [
     "plot_admm_trace",
     "plot_batch_with_ellipses",
     "psf_error_table",
+    "summarize_cis",
     "summarize_psf_results",
     "summarize_psnr_results",
     "summarize_results",

@@ -39,6 +39,49 @@ def _median_err(rec, gt):
     return float(np.median(np.minimum(np.abs(np.asarray(rec[:n]) - np.asarray(gt[:n])), 1)[:, 2]))
 
 
+def bootstrap_ci(rec, gt, n_boot: int = 2000, seed: int = 0, q=(2.5, 97.5)):
+    """Percentile bootstrap CI for the benchmark metric (median over
+    galaxies of min(|g_rec - g_gt|, 1) on the |g| component).
+
+    Returns (point, lo, hi)."""
+    rec, gt = np.asarray(rec), np.asarray(gt)
+    n = min(len(rec), len(gt))
+    err = np.minimum(np.abs(rec[:n] - gt[:n]), 1)[:, 2]
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(n_boot, n))
+    meds = np.median(err[idx], axis=1)
+    lo, hi = np.percentile(meds, q)
+    return float(np.median(err)), float(lo), float(hi)
+
+
+def summarize_cis(
+    result_path,
+    methods: Sequence[str],
+    snrs: Sequence[int] = (20, 100, 200),
+    gt_method: str = "No_Deconv",
+    n_boot: int = 2000,
+) -> str:
+    """Markdown table of median-error point estimates with 95% bootstrap
+    CIs for the headline method comparison."""
+    gt_res = load_method_results(result_path, gt_method)
+    header = "| Method | " + " | ".join(f"SNR {s}" for s in snrs) + " |"
+    lines = [header, "|---" * (len(snrs) + 1) + "|"]
+    for m in methods:
+        try:
+            res = load_method_results(result_path, m)
+        except FileNotFoundError:
+            continue
+        cells = []
+        for snr in snrs:
+            if str(snr) in res and str(snr) in gt_res:
+                p, lo, hi = bootstrap_ci(res[str(snr)]["rec_shear"], gt_res[str(snr)]["gt_shear"], n_boot=n_boot)
+                cells.append(f"{p:.4f} [{lo:.4f}, {hi:.4f}]")
+            else:
+                cells.append("—")
+        lines.append(f"| {m} | " + " | ".join(cells) + " |")
+    return "\n".join(lines)
+
+
 def error_table(
     result_path,
     methods: Sequence[str],

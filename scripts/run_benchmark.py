@@ -68,7 +68,12 @@ def main():
 
     logging.basicConfig(level=logging.INFO)
 
-    from galaxy_deconv_tpu.analysis import summarize_psf_results, summarize_psnr_results, summarize_results
+    from galaxy_deconv_tpu.analysis import (
+        summarize_cis,
+        summarize_psf_results,
+        summarize_psnr_results,
+        summarize_results,
+    )
     from galaxy_deconv_tpu.eval import (
         DEFAULT_PSF_ERRS,
         run_psf_error_test,
@@ -193,6 +198,16 @@ def main():
 
     table = summarize_results(args.result, list(methods), snrs)
     out = pathlib.Path("RESULTS.md")
+    ci_methods = [m for m in (
+        "Unrolled_ADMM_Gaussian(8)_bounded", "Unrolled_ADMM_Gaussian(4)_bounded",
+        "Unrolled_ADMM_Gaussian(2)_bounded", "Unrolled_ADMM_Gaussian(8)",
+        "Unrolled_ADMM_Gaussian(4)", "Unrolled_ADMM_Gaussian(2)",
+        "ShapeNet", "ShapeNet_tpu", "Tikhonet_Laplacian", "Richard-Lucy(30)",
+        "FPFS", "No_Deconv") if m in methods]
+    if ci_methods:
+        ci_table = summarize_cis(args.result, ci_methods)
+        if not replace_block(out, "CI TABLE", ci_table):
+            print(f"(no CI TABLE markers in RESULTS.md; table printed below)\n{ci_table}")
     for kind in ("shear", "fwhm"):
         psf_table = summarize_psf_results(args.result, list(methods), DEFAULT_PSF_ERRS, kind=kind)
         if not replace_block(out, f"PSF {kind.upper()} TABLE", psf_table):

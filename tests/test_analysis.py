@@ -134,3 +134,29 @@ class TestGalleryAndTrace:
         d1 = major_axis_dir(*p[1])
         assert d0[1] > 0.9  # first galaxy: major axis along columns
         assert d1[0] > 0.9  # second: along rows
+
+
+class TestBootstrapCI:
+    def test_ci_brackets_point_and_tightens(self, tmp_path):
+        import json
+
+        from galaxy_deconv_tpu.analysis import summarize_cis
+        from galaxy_deconv_tpu.analysis.report import bootstrap_ci
+
+        rng = np.random.default_rng(0)
+        gt = np.zeros((400, 3)); gt[:, 2] = 0.3
+        rec = gt + rng.normal(0, 0.05, gt.shape)
+        p, lo, hi = bootstrap_ci(rec, gt, n_boot=500)
+        assert lo <= p <= hi and 0.01 < p < 0.1
+        # 4x the sample -> narrower interval
+        gt4 = np.tile(gt, (4, 1)); rec4 = gt4 + rng.normal(0, 0.05, gt4.shape)
+        _, lo4, hi4 = bootstrap_ci(rec4, gt4, n_boot=500)
+        assert (hi4 - lo4) < (hi - lo)
+
+        # markdown summary over a results dir
+        for m in ("No_Deconv", "M"):
+            d = tmp_path / m; d.mkdir()
+            payload = {"20": {"rec_shear": rec.tolist(), "gt_shear": gt.tolist()}}
+            (d / "results.json").write_text(json.dumps(payload))
+        table = summarize_cis(tmp_path, ["M", "missing_method"], snrs=(20, 100))
+        assert "| M |" in table and "[" in table and "missing_method" not in table
