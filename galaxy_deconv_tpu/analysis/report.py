@@ -63,7 +63,11 @@ def summarize_cis(
 ) -> str:
     """Markdown table of median-error point estimates with 95% bootstrap
     CIs for the headline method comparison."""
-    gt_res = load_method_results(result_path, gt_method)
+    try:
+        gt_res = load_method_results(result_path, gt_method)
+    except FileNotFoundError:
+        return (f"(no {gt_method} results in {result_path} — gt_shear unavailable; "
+                "run the sweep with No_Deconv included to populate CIs)")
     header = "| Method | " + " | ".join(f"SNR {s}" for s in snrs) + " |"
     lines = [header, "|---" * (len(snrs) + 1) + "|"]
     for m in methods:

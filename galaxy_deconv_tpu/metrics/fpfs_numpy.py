@@ -56,13 +56,21 @@ auditability:
   normalized by ``R1E`` (``utils/utils_test.py:45-47``), not by their
   own response.
 
-Validation: this implementation reproduces the real-fpfs golden values
-baked into the reference's tutorial figure (``tutorials/deconv.ipynb``:
-|g|=0.035 for ``obs.pth``, |g|=0.049 for ``gt.pth``, both printed by the
-notebook with the actual fpfs 3.0.2) — see
-``tests/test_metrics.py::TestFpfsGolden`` — and recovers applied shears
-on analytic profiles to sub-percent accuracy (metamorphic tests, same
-file).
+Validation (no per-stamp fpfs goldens ship with the reference, and the
+package itself cannot be installed here, so validation is layered —
+see RESULTS.md "Shear-metric validation"):
+
+* element-wise equivalence with the batched JAX implementation
+  (``metrics/shear.py``) on asymmetric stamps
+  (``tests/test_metrics.py::TestNumpyTwin``);
+* metamorphic tests: recovers applied shears through the PSF
+  deconvolution path to sub-percent accuracy, translation invariance
+  (no centroiding, as in fpfs), unbiasedness on sheared Gaussians
+  (same file);
+* a population-level fingerprint test against the reference's committed
+  *real-fpfs* outputs (``results_200/*/results.json``): gt-shear
+  distribution, seeing dilution, and error-vs-SNR curve shape
+  (``tests/test_metrics.py::TestReferenceFingerprint``).
 """
 
 from __future__ import annotations

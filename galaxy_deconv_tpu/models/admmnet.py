@@ -45,7 +45,7 @@ class ADMMNet(nn.Module):
     rho2: float = 0.5
     denoiser_scale: str = "unit"  # 'unit' = reference quirk; 'adu' = scale-matched
     # 'reference' keeps the reference's non-prox v-update (wrong quadratic
-    # root -> a ~2*alpha/rho2 constant plane on the loop variable; see
+    # root -> a ~alpha/rho2 constant plane on the loop variable; see
     # v_update_poisson docstring); 'exact' uses the true Poisson prox.
     poisson_prox: str = "reference"
     dtype: Any = jnp.float32

@@ -46,7 +46,7 @@ def v_update_poisson(v_tilde, y, rho2, alpha):
 
     NOTE this is NOT the prox of the Poisson NLL: the quadratic root is
     taken with the wrong sign (see :func:`v_update_poisson_exact`), so for
-    unit-scale ``v_tilde`` and raw-ADU ``y`` it returns v ~ 2*alpha/rho2 —
+    unit-scale ``v_tilde`` and raw-ADU ``y`` it returns v ~ alpha/rho2 —
     a constant plane that rides on the loop variable.  The *trained*
     two-dual ADMM absorbs this (SubNet + end-to-end denoiser training),
     but fixed-rho frozen-denoiser ADMMNet cannot, which is why the
@@ -62,9 +62,21 @@ def v_update_poisson_exact(v_tilde, y, rho2, alpha):
     positive root of ``rho2*v^2 + (alpha - rho2*v_tilde)*v - y = 0``
     (stationarity ``rho2*(v - v_tilde) + alpha - y/v = 0``).  For large
     alpha this gives v ~ y/alpha — the unit scale the rest of the ADMM
-    loop lives on."""
+    loop lives on.
+
+    Numerically stable form: for t1 < 0 (the typical regime — alpha
+    dominates rho2*v_tilde) the direct root ``t1 + sqrt(t1^2 + 4 y rho2)``
+    subtracts nearly-equal fp32 quantities on background pixels (small y),
+    losing relative precision on the ~y/alpha result; the conjugate form
+    ``2 y / (sqrt(t1^2 + 4 y rho2) - t1)`` avoids the cancellation there,
+    while the direct form is the stable one for t1 > 0."""
     t1 = rho2 * v_tilde - alpha
-    return 0.5 * (1.0 / rho2) * (t1 + jnp.sqrt(t1**2 + 4.0 * y * rho2))
+    disc = jnp.sqrt(t1**2 + 4.0 * y * rho2)
+    return jnp.where(
+        t1 > 0,
+        0.5 * (1.0 / rho2) * (t1 + disc),
+        2.0 * y / jnp.maximum(disc - t1, 1e-30),
+    )
 
 def v_update_gaussian(v_tilde, y, rho2):
     return (rho2 * v_tilde + y) / (1.0 + rho2)

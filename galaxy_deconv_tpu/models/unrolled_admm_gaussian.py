@@ -67,10 +67,13 @@ class UnrolledADMMGaussian(nn.Module):
     analysis: bool = False
     # Optional (lo, hi) log-space bounds on the SubNet rho schedule:
     # rho = lo * (hi/lo)^sigmoid(logit).  The reference-parity default
-    # (None -> Softplus + 1e-6) lets online training drive rho to a
-    # degenerate schedule (rho ~ 1e-6 at most iterations, 1e2-1e3 spikes at
-    # two — see RESULTS.md "rho schedule"), which collapses the unrolled
-    # depth to ~2 effective steps.  Bounding keeps every iteration active.
+    # (None -> Softplus + 1e-6) lets online training drive the schedule
+    # orders of magnitude non-uniform (measured on the committed
+    # checkpoints: median rho per iteration spans ~1e-4..2 — evidence in
+    # figures/rho_schedule.json / scripts/rho_trace.py; RESULTS.md "The
+    # SubNet rho schedule"), leaving some iterations with a nearly
+    # likelihood-only x-update.  Bounding keeps every iteration's penalty
+    # in a non-degenerate range.
     rho_bounds: "tuple[float, float] | None" = None
     dtype: Any = jnp.float32
     # Route the x-update's pointwise spectral solve through the fused Pallas

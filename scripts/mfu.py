@@ -25,6 +25,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 # TPU v5e (v5 lite) single-chip peaks, from the public spec sheet
 V5E_PEAK_BF16 = 197e12  # FLOP/s
+V5E_PEAK_FP32 = V5E_PEAK_BF16 / 2  # fp32 runs the MXU at half rate
 V5E_HBM_BW = 819e9      # bytes/s
 
 
@@ -100,9 +101,11 @@ def main():
     flops_per_gal = flops / B
     conv_flops_per_gal = 8 * dn_flops / B
     tflops = gal_per_sec * flops_per_gal / 1e12
-    mfu = tflops * 1e12 / V5E_PEAK_BF16
+    # MFU against the dtype-matched peak (fp32 halves the MXU rate)
+    peak = V5E_PEAK_BF16 if args.dtype == "bfloat16" else V5E_PEAK_FP32
+    mfu = tflops * 1e12 / peak
     intensity = flops / bytes_accessed if bytes_accessed else float("nan")
-    knee = V5E_PEAK_BF16 / V5E_HBM_BW  # FLOP/byte where HBM stops binding
+    knee = peak / V5E_HBM_BW  # FLOP/byte where HBM stops binding
 
     report = {
         "batch": B,
@@ -111,9 +114,12 @@ def main():
         "throughput_source": timed,
         "flops_per_galaxy": round(flops_per_gal),
         "conv_flops_per_galaxy_8xResUNet": round(conv_flops_per_gal),
-        "conv_fraction": round(conv_flops_per_gal / flops_per_gal, 3),
+        # estimate only: compares a standalone-compiled ResUNet's FLOPs to
+        # the fused full-pipeline count; XLA fusion/remat can shift either
+        "conv_fraction_estimate": round(conv_flops_per_gal / flops_per_gal, 3),
         "sustained_tflops": round(tflops, 1),
-        "mfu_vs_v5e_bf16_peak": round(mfu, 4),
+        "peak_tflops_dtype_matched": round(peak / 1e12, 1),
+        "mfu_vs_dtype_peak": round(mfu, 4),
         "bytes_accessed_per_galaxy": round(bytes_accessed / B),
         "arithmetic_intensity_flop_per_byte": round(intensity, 1),
         "v5e_roofline_knee_flop_per_byte": round(knee, 1),

@@ -144,7 +144,11 @@ def main():
 
     # ADMMNet_unit: same loop, but the frozen denoiser was *trained* at the
     # loop variable's unit scale (simulate_batch_denoise_unit) — the
-    # scale-consistent design the reference's raw-ADU denoise training lacks
+    # scale-consistent design the reference's raw-ADU denoise training lacks.
+    # With the reference prox ('ADMMNet' build) this isolates denoiser scale
+    # only — the O(alpha) v-update pedestal still dominates the loop variable;
+    # ADMMNet_unit_fixed pairs the unit denoiser with the exact Poisson prox
+    # so the denoiser's benefit is actually measurable.
     un_src, ep = args.ckpt, best_epoch(args.ckpt, "ResUNet_Unit_MultiScale")
     if not ep:
         un_src, ep = "trained", best_epoch("trained", "ResUNet_Unit_MultiScale")
@@ -153,7 +157,9 @@ def main():
         params = unpack_variables(st)["params"]
         methods["ADMMNet_unit"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
                                    "build_name": "ADMMNet"}
-        print(f"assembled ADMMNet_unit from ResUNet_Unit_MultiScale step {ep}")
+        methods["ADMMNet_unit_fixed"] = {"variables": {"params": {"ResUNet_0": params["ResUNet_0"]}},
+                                         "build_name": "ADMMNet_fixed"}
+        print(f"assembled ADMMNet_unit (+_fixed) from ResUNet_Unit_MultiScale step {ep}")
 
     if args.only:
         methods = {k: v for k, v in methods.items() if k in args.only}

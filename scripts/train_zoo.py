@@ -31,10 +31,12 @@ SPECS = {
     # unit-scale denoiser: trained on stamps divided by alpha, matching the
     # scale of ADMMNet's loop variable (simulate_batch_denoise_unit docstring)
     "resunet_unit": ("ResUNet_Unit_MultiScale", "resunet_unit", {}, "MultiScale"),
-    # bounded-rho schedule variants: every unrolled iteration stays active
-    # (rho in [0.1, 10] log-space; see UnrolledADMMGaussian.rho_bounds),
-    # countering the degenerate two-spike schedule the unconstrained SubNet
-    # converges to under long online training (RESULTS.md "rho schedule")
+    # bounded-rho schedule variants: every unrolled iteration's penalty is
+    # kept in [0.1, 10] log-space (see UnrolledADMMGaussian.rho_bounds),
+    # countering the orders-of-magnitude-non-uniform schedule the
+    # unconstrained SubNet converges to under long online training
+    # (measured: figures/rho_schedule.json; RESULTS.md "The SubNet rho
+    # schedule")
     "admm8_bounded": ("Gaussian_PnP_ADMM_8iters_Bounded_MultiScale", "admm",
                       dict(n_iters=8, rho_bounds=(0.1, 10.0)), "MultiScale"),
     "admm4_bounded": ("Gaussian_PnP_ADMM_4iters_Bounded_MultiScale", "admm",
