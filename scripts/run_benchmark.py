@@ -62,6 +62,10 @@ def main():
     parser.add_argument("--skip_psf", action="store_true")
     parser.add_argument("--skip_psnr", action="store_true")
     parser.add_argument("--only", nargs="*", default=None, help="restrict to these result names")
+    parser.add_argument("--summarize_only", action="store_true",
+                        help="skip all eval sweeps; refresh the RESULTS.md tables from "
+                             "whatever results are already on disk (the final stage of a "
+                             "staged, resumable pipeline — scripts/round3_eval.sh)")
     args = parser.parse_args()
 
     import logging
@@ -161,8 +165,14 @@ def main():
                                          "build_name": "ADMMNet_fixed"}
         print(f"assembled ADMMNet_unit (+_fixed) from ResUNet_Unit_MultiScale step {ep}")
 
+    # the summary tables always cover the full discovered method matrix,
+    # even when --only restricts which sweeps run in this invocation
+    all_methods = list(methods)
     if args.only:
         methods = {k: v for k, v in methods.items() if k in args.only}
+
+    if args.summarize_only:
+        methods = {}
 
     for method, spec in methods.items():
         kw = dict(spec)
@@ -180,17 +190,20 @@ def main():
         psf_data = args.psf_data or args.data
         psf_n_gal = args.psf_n_gal or args.n_gal
         errs = DEFAULT_PSF_ERRS
-        for method in ("Richard-Lucy(30)", "Unrolled_ADMM_Gaussian(8)", "Unrolled_ADMM_Gaussian(8)_cont",
-                       "Unrolled_ADMM_Gaussian(8)_bounded",
-                       "Tikhonet_Laplacian", "Tikhonet_Laplacian_tpu", "ShapeNet_tpu",
-                       "Unrolled_ADMM_Poisson(8)"):
-            if method in methods:
-                kw = dict(methods[method])
-                build_name = kw.pop("build_name", method)
-                for kind in ("shear", "fwhm"):
-                    run_psf_error_test(build_name, psf_data, args.result, errs=errs, kind=kind,
-                                       n_gal=psf_n_gal, batch_size=args.batch,
-                                       result_name=method, **kw)
+        # the full method matrix, as in the reference's test_psf.py (its
+        # methods dict covers every benchmarked method).  No_Deconv never
+        # touches the PSF (rec = obs) — its rows would be constant — but FPFS
+        # does (it deconvolves by the perturbed PSF in moment space), so only
+        # No_Deconv is skipped.
+        for method in methods:
+            if method == "No_Deconv":
+                continue
+            kw = dict(methods[method])
+            build_name = kw.pop("build_name", method)
+            for kind in ("shear", "fwhm"):
+                run_psf_error_test(build_name, psf_data, args.result, errs=errs, kind=kind,
+                                   n_gal=psf_n_gal, batch_size=args.batch,
+                                   result_name=method, **kw)
 
     def replace_block(out: pathlib.Path, tag: str, content: str) -> bool:
         start, end = f"<!-- {tag} START -->", f"<!-- {tag} END -->"
@@ -202,23 +215,25 @@ def main():
         out.write_text(pre + f"{start}\n{content}\n{end}" + post)
         return True
 
-    table = summarize_results(args.result, list(methods), snrs)
+    # summaries skip methods whose results.json doesn't exist on disk, so
+    # using the full matrix here is safe even after --only/--summarize_only
+    table = summarize_results(args.result, all_methods, snrs)
     out = pathlib.Path("RESULTS.md")
     ci_methods = [m for m in (
         "Unrolled_ADMM_Gaussian(8)_bounded", "Unrolled_ADMM_Gaussian(4)_bounded",
         "Unrolled_ADMM_Gaussian(2)_bounded", "Unrolled_ADMM_Gaussian(8)",
         "Unrolled_ADMM_Gaussian(4)", "Unrolled_ADMM_Gaussian(2)",
         "ShapeNet", "ShapeNet_tpu", "Tikhonet_Laplacian", "Richard-Lucy(30)",
-        "FPFS", "No_Deconv") if m in methods]
+        "FPFS", "No_Deconv") if m in all_methods]
     if ci_methods:
         ci_table = summarize_cis(args.result, ci_methods)
         if not replace_block(out, "CI TABLE", ci_table):
             print(f"(no CI TABLE markers in RESULTS.md; table printed below)\n{ci_table}")
     for kind in ("shear", "fwhm"):
-        psf_table = summarize_psf_results(args.result, list(methods), DEFAULT_PSF_ERRS, kind=kind)
+        psf_table = summarize_psf_results(args.result, all_methods, DEFAULT_PSF_ERRS, kind=kind)
         if not replace_block(out, f"PSF {kind.upper()} TABLE", psf_table):
             print(f"(no PSF {kind.upper()} TABLE markers in RESULTS.md; table printed below)\n{psf_table}")
-    psnr_table = summarize_psnr_results(args.result, list(methods), snrs)
+    psnr_table = summarize_psnr_results(args.result, all_methods, snrs)
     if not replace_block(out, "PSNR TABLE", psnr_table):
         print(f"(no PSNR TABLE markers in RESULTS.md; table printed below)\n{psnr_table}")
     if not replace_block(out, "BENCHMARK TABLE", table):
