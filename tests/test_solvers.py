@@ -190,7 +190,7 @@ class TestOtherSolvers:
     def test_poisson_prox_stationarity(self):
         """v_update_poisson_exact solves rho*(v - v_tilde) + alpha - y/v = 0
         (the true Poisson-NLL prox); the reference's v_update_poisson does
-        not — it takes the wrong quadratic root, returning ~2*alpha/rho at
+        not — it takes the wrong quadratic root, returning ~alpha/rho at
         realistic scales (the constant plane documented in RESULTS.md)."""
         from galaxy_deconv_tpu.models.unrolled_admm import (
             v_update_poisson,
@@ -205,9 +205,23 @@ class TestOtherSolvers:
         resid = rho * (v - np.asarray(v_tilde)) + alpha - np.asarray(y) / v
         np.testing.assert_allclose(resid, 0.0, atol=1e-4 * alpha)  # fp32 roundoff on O(alpha) terms
         v_ref = np.asarray(v_update_poisson(v_tilde, y, rho, alpha))
-        # the reference root sits near 2*alpha/rho regardless of y — the
+        # the reference root sits near alpha/rho regardless of y — the
         # origin of ADMMNet's alpha-scaled pedestal
         assert np.all(v_ref > 0.9 * alpha / rho)
+
+    def test_poisson_prox_exact_background_precision(self):
+        """The conjugate-root form keeps full relative precision on
+        background pixels (y << alpha, v_tilde ~ 0), where the direct root
+        t1 + sqrt(t1^2 + 4 y rho) cancels catastrophically in fp32: the
+        exact answer there is ~y/alpha, and y = 0 must give exactly 0."""
+        from galaxy_deconv_tpu.models.unrolled_admm import v_update_poisson_exact
+
+        rho, alpha = jnp.asarray(1e-3), jnp.asarray(50.0)
+        y = jnp.asarray([0.0, 1e-4, 1e-2, 1.0])
+        v = np.asarray(v_update_poisson_exact(jnp.zeros_like(y), y, rho, alpha))
+        expect = np.asarray(y) / 50.0  # v ~ y/alpha when rho*v_tilde << alpha
+        np.testing.assert_allclose(v, expect, rtol=1e-5)
+        assert v[0] == 0.0
 
     def test_admmnet_fixed_kills_pedestal(self, stamps):
         """With the exact prox, ADMMNet's empty-sky border stays near zero;
