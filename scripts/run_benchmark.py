@@ -24,6 +24,9 @@ TRAINED_SPECS = {
     "Unrolled_ADMM_Gaussian(2)": ("Unrolled_ADMM_Gaussian(2)", "Gaussian_PnP_ADMM_2iters_MultiScale"),
     "Tikhonet_Laplacian_tpu": ("Tikhonet_Laplacian", "Tikhonet_Laplacian_MultiScale"),
     "ShapeNet_tpu": ("ShapeNet", "ShapeNet_Laplacian"),
+    # continuation of the Meyer-bank shape-constraint training (training-length
+    # ablation for the ShapeNet_tpu vs transplanted-ShapeNet gap)
+    "ShapeNet_tpu_cont": ("ShapeNet", "ShapeNet_Laplacian_cont"),
     "Unrolled_ADMM_Poisson(8)": ("Unrolled_ADMM(8)", "Poisson_PnP_ADMM_8iters_MultiScale"),
     # bounded-rho schedule variants (every unrolled iteration active;
     # models/unrolled_admm_gaussian.py rho_bounds)
