@@ -96,7 +96,10 @@ def error_table(
     gt_res = load_method_results(result_path, gt_method)
     table = {}
     for m in methods:
-        res = load_method_results(result_path, m)
+        try:
+            res = load_method_results(result_path, m)
+        except FileNotFoundError:  # method not swept (yet) — staged pipelines
+            continue
         row = {}
         for snr in snrs:
             if str(snr) in res and str(snr) in gt_res:
