@@ -40,8 +40,12 @@ def _merge_write(path: pathlib.Path, update: dict):
             results.setdefault(k, {}).update(v)
         else:
             results[k] = v
-    with open(path, "w") as f:
+    # atomic replace: a sweep killed mid-write (stage timeout) must never
+    # truncate previously accumulated results
+    tmp = path.with_suffix(".json.tmp")
+    with open(tmp, "w") as f:
         json.dump(results, f)
+    tmp.replace(path)
 
 
 def make_apply_fn(method: str, variables: Optional[dict] = None, **model_kwargs) -> Callable:
