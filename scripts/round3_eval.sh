@@ -18,13 +18,16 @@ stage() {
     echo "=== $name already done, skipping ==="
     return 0
   fi
+  local rc
   for attempt in 1 2; do
     echo "=== $name (attempt $attempt) $(date -u +%H:%M:%S) ==="
-    if timeout "$tmo" "$@"; then
+    timeout "$tmo" "$@"
+    rc=$?
+    if [ "$rc" -eq 0 ]; then
       touch "logs/stamps/$stampname.done"
       return 0
     fi
-    echo "!!! $name attempt $attempt failed (rc=$?) $(date -u +%H:%M:%S)"
+    echo "!!! $name attempt $attempt failed (rc=$rc) $(date -u +%H:%M:%S)"
     sleep 10
   done
   echo "!!! $name FAILED twice, continuing pipeline"
@@ -44,8 +47,8 @@ stage "sweep-classical" 2400 python scripts/run_benchmark.py $BENCHARGS \
          "Richard-Lucy(50)" "Richard-Lucy(100)"
 stage "sweep-transplants" 1800 python scripts/run_benchmark.py $BENCHARGS \
   --only Tikhonet_Laplacian Tikhonet_Identity ShapeNet
-stage "sweep-tikhonet-tpu" 1200 python scripts/run_benchmark.py $BENCHARGS \
-  --only Tikhonet_Laplacian_tpu ShapeNet_tpu
+stage "sweep-tikhonet-tpu" 1800 python scripts/run_benchmark.py $BENCHARGS \
+  --only Tikhonet_Laplacian_tpu ShapeNet_tpu ShapeNet_tpu_cont
 for m in "Unrolled_ADMM_Gaussian(8)" "Unrolled_ADMM_Gaussian(4)" "Unrolled_ADMM_Gaussian(2)" \
          "Unrolled_ADMM_Gaussian(8)_bounded" "Unrolled_ADMM_Gaussian(4)_bounded" \
          "Unrolled_ADMM_Gaussian(2)_bounded" "Unrolled_ADMM_Poisson(8)"; do
