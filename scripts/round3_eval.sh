@@ -20,6 +20,9 @@ stage() {
   fi
   local rc
   for attempt in 1 2; do
+    # settle: a client connecting right after the previous one exits can
+    # wedge the tunneled device RPC (docs/DESIGN.md #9)
+    sleep 30
     echo "=== $name (attempt $attempt) $(date -u +%H:%M:%S) ==="
     timeout "$tmo" "$@"
     rc=$?
