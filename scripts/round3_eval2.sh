@@ -35,7 +35,7 @@ stage() {
 
 DATA=datasets/LSST_23.5_deconv_tpu_10k
 PSF=datasets/LSST_23.5_deconv_tpu_1k_psf
-BENCHARGS="--data $DATA --n_gal 10000 --batch 250 --psf_data $PSF --psf_n_gal 1000"
+BENCHARGS="--data $DATA --n_gal 10000 --batch 250 --psf_data $PSF --psf_n_gal 1000 --psnr_n_gal 2000"
 
 stage "export-trained-rt" 600 python scripts/export_trained.py
 
@@ -48,6 +48,11 @@ done
 stage "summarize-mid" 900 python scripts/run_benchmark.py $BENCHARGS --summarize_only
 stage "figures-mid" 900 python scripts/make_figures.py --data $DATA --skip_model
 
+# the two VERDICT-critical studies next: the rho-schedule evidence behind
+# the bounded experiment, and the population-fingerprint sweep
+stage "rho-trace" 1200 python scripts/rho_trace.py
+stage "population-sweep" 3000 python scripts/population_sweep.py --n_gal 1000
+
 stage "sweep-tikhonet-tpu-rt" 1800 python scripts/run_benchmark.py $BENCHARGS \
   --only Tikhonet_Laplacian_tpu ShapeNet_tpu ShapeNet_tpu_cont
 stage "sweep-poisson-rt" 1800 python scripts/run_benchmark.py $BENCHARGS \
@@ -55,8 +60,6 @@ stage "sweep-poisson-rt" 1800 python scripts/run_benchmark.py $BENCHARGS \
 stage "sweep-admmnet-rt" 2400 python scripts/run_benchmark.py $BENCHARGS \
   --only ADMMNet ADMMNet_scaled ADMMNet_fixed ADMMNet_unit ADMMNet_unit_fixed
 
-stage "rho-trace" 1200 python scripts/rho_trace.py
-stage "population-sweep" 3000 python scripts/population_sweep.py --n_gal 1000
 stage "reconcile-throughput" 1200 python scripts/reconcile_throughput.py
 stage "bench-headline" 900 python bench.py
 stage "mfu-live" 900 python scripts/mfu.py

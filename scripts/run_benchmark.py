@@ -56,6 +56,9 @@ def main():
                              "PSF sets — see scripts/gen_cpu_datasets.sh)")
     parser.add_argument("--psf_n_gal", type=int, default=None,
                         help="galaxies for the PSF sweeps (default: --n_gal)")
+    parser.add_argument("--psnr_n_gal", type=int, default=None,
+                        help="galaxies for the PSNR sweep (default: --n_gal; the PSNR "
+                             "median is stable well below the 10k shear-sweep size)")
     parser.add_argument("--result", default="results_tpu")
     parser.add_argument("--n_gal", type=int, default=1000)
     parser.add_argument("--batch", type=int, default=250)
@@ -186,7 +189,8 @@ def main():
             run_time_test(build_name, args.data, args.result, n_gal=args.n_gal,
                           batch_size=args.batch, warmup=1, result_name=method, **kw)
         if not args.skip_psnr and method != "FPFS":  # FPFS reconstructs nothing
-            run_psnr_test(build_name, args.data, args.result, snrs=snrs, n_gal=args.n_gal,
+            run_psnr_test(build_name, args.data, args.result, snrs=snrs,
+                          n_gal=args.psnr_n_gal or args.n_gal,
                           batch_size=args.batch, result_name=method, **kw)
 
     if not args.skip_psf:
