@@ -91,11 +91,12 @@ def main():
     # fit_online's own watchdog only covers the training loop; the init
     # path (first simulate_batch + model init) is also a device call that
     # has been observed to wedge — cover it here and hand off at fit time.
-    # 300s: healthy init takes ~90s (compile included); wedges cluster when
-    # a new client connects right after the previous one exits
-    # (docs/DESIGN.md #9), so a shorter fuse + the supervisor retry
-    # recovers in ~5 min instead of 10.
-    init_dog = StallWatchdog(300.0, name="train_zoo[init]").start()
+    # 600s: the ResUNet models init+compile in ~90s, but the XDenseUNet
+    # models (tikhonet/shapenet — DenseBlocks of many small convs) can
+    # legitimately take several minutes to compile over the tunneled
+    # backend; a 300s fuse was observed killing healthy tikhonet inits
+    # (round-3 log, rc=75 on 4 consecutive attempts).
+    init_dog = StallWatchdog(600.0, name="train_zoo[init]").start()
 
     overrides = {
         k: getattr(args, k)
