@@ -39,6 +39,15 @@ def _median_err(rec, gt):
     return float(np.median(np.minimum(np.abs(np.asarray(rec[:n]) - np.asarray(gt[:n])), 1)[:, 2]))
 
 
+def _dataset_mismatch(res: dict, gt_res: dict) -> bool:
+    """True when two results carry provenance stamps from different
+    benchmark datasets (run_shear_test 'meta'); unstamped legacy results
+    are not judged."""
+    a = res.get("meta", {}).get("data_root")
+    b = gt_res.get("meta", {}).get("data_root")
+    return a is not None and b is not None and a != b
+
+
 def bootstrap_ci(rec, gt, n_boot: int = 2000, seed: int = 0, q=(2.5, 97.5)):
     """Percentile bootstrap CI for the benchmark metric (median over
     galaxies of min(|g_rec - g_gt|, 1) on the |g| component).
@@ -75,6 +84,8 @@ def summarize_cis(
             res = load_method_results(result_path, m)
         except FileNotFoundError:
             continue
+        if _dataset_mismatch(res, gt_res):
+            continue
         cells = []
         for snr in snrs:
             if str(snr) in res and str(snr) in gt_res:
@@ -99,6 +110,13 @@ def error_table(
         try:
             res = load_method_results(result_path, m)
         except FileNotFoundError:  # method not swept (yet) — staged pipelines
+            continue
+        if _dataset_mismatch(res, gt_res):
+            import sys
+
+            print(f"(skipping {m}: swept on {res['meta']['data_root']}, but "
+                  f"{gt_method}'s gt_shear is from {gt_res['meta']['data_root']} — "
+                  "rec/gt from different datasets are not comparable)", file=sys.stderr)
             continue
         row = {}
         for snr in snrs:

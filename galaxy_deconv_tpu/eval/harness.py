@@ -136,6 +136,11 @@ def run_shear_test(
             n = rec_shear.shape[0]
             gt = jnp.asarray(ds.gt[:n].astype(np.float32))
             update[str(snr)]["gt_shear"] = np.asarray(estimate_shear(gt)).tolist()
+        # provenance stamp: summaries refuse to compare rec_shear and
+        # gt_shear that came from different benchmark datasets (mixing them
+        # silently yields a meaningless flat ~0.11 median — observed when a
+        # staged re-sweep was mid-flight over a regenerated dataset)
+        update["meta"] = {"data_root": str(data_root), "n_gal": int(rec_shear.shape[0])}
         _merge_write(results_file, update)
         logger.info("%s snr=%s: %d galaxies", method, snr, rec_shear.shape[0])
     return _load_results(results_file)
