@@ -98,7 +98,12 @@ def main():
             for c in range(0, args.n_gal, args.chunk):
                 key = jax.random.PRNGKey(31415 + c)
                 b = simulate_batch_at_snr(key, args.chunk, float(snr), cfg)
-                obs, psf, alpha, gt = b["obs"], b["psf"], b["alpha"], b["gt"]
+                obs, psf, gt = b["obs"], b["psf"], b["gt"]
+                # alpha = mean(obs): the reference's convention
+                # (utils/utils_data.py:100-101), used by BOTH the online
+                # training and the dataset eval — feeding the true
+                # generation alpha here puts SubNet out of distribution
+                alpha = obs.mean(axis=(-2, -1))
                 gt_shear = np.asarray(estimate_shear(gt))
                 def med(rec_shear):
                     return np.minimum(np.abs(np.asarray(rec_shear) - gt_shear), 1)[:, 2]
