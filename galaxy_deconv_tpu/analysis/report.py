@@ -39,12 +39,26 @@ def _median_err(rec, gt):
     return float(np.median(np.minimum(np.abs(np.asarray(rec[:n]) - np.asarray(gt[:n])), 1)[:, 2]))
 
 
-def _dataset_mismatch(res: dict, gt_res: dict) -> bool:
+def _entry_root(res: dict, key) -> Optional[str]:
+    """Provenance of one per-SNR (or per-PSF-err) entry: the per-entry
+    stamp when present (run_shear_test writes one per leg, so rows that
+    survived a mid-method kill keep their own dataset), falling back to
+    the file-level meta stamp for legacy files."""
+    entry = res.get(str(key), {})
+    root = entry.get("data_root") if isinstance(entry, dict) else None
+    return root if root is not None else res.get("meta", {}).get("data_root")
+
+
+def _dataset_mismatch(res: dict, gt_res: dict, key=None) -> bool:
     """True when two results carry provenance stamps from different
-    benchmark datasets (run_shear_test 'meta'); unstamped legacy results
-    are not judged."""
-    a = res.get("meta", {}).get("data_root")
-    b = gt_res.get("meta", {}).get("data_root")
+    benchmark datasets; with ``key`` the per-entry stamps are compared
+    (guarding each table cell, not just the file pair).  Unstamped legacy
+    results are not judged."""
+    if key is not None:
+        a, b = _entry_root(res, key), _entry_root(gt_res, key)
+    else:
+        a = res.get("meta", {}).get("data_root")
+        b = gt_res.get("meta", {}).get("data_root")
     return a is not None and b is not None and a != b
 
 
@@ -88,7 +102,8 @@ def summarize_cis(
             continue
         cells = []
         for snr in snrs:
-            if str(snr) in res and str(snr) in gt_res:
+            if (str(snr) in res and str(snr) in gt_res
+                    and not _dataset_mismatch(res, gt_res, snr)):
                 p, lo, hi = bootstrap_ci(res[str(snr)]["rec_shear"], gt_res[str(snr)]["gt_shear"], n_boot=n_boot)
                 cells.append(f"{p:.4f} [{lo:.4f}, {hi:.4f}]")
             else:
@@ -104,22 +119,25 @@ def error_table(
     gt_method: str = "No_Deconv",
 ) -> dict:
     """Per-method median-ellipticity-error rows (the BASELINE.md table)."""
-    gt_res = load_method_results(result_path, gt_method)
+    try:
+        gt_res = load_method_results(result_path, gt_method)
+    except FileNotFoundError:  # no gt sweep yet (e.g. --summarize_only on
+        return {}              # a partial results dir) — degrade, don't crash
     table = {}
     for m in methods:
         try:
             res = load_method_results(result_path, m)
         except FileNotFoundError:  # method not swept (yet) — staged pipelines
             continue
-        if _dataset_mismatch(res, gt_res):
-            import sys
-
-            print(f"(skipping {m}: swept on {res['meta']['data_root']}, but "
-                  f"{gt_method}'s gt_shear is from {gt_res['meta']['data_root']} — "
-                  "rec/gt from different datasets are not comparable)", file=sys.stderr)
-            continue
         row = {}
         for snr in snrs:
+            if _dataset_mismatch(res, gt_res, snr):
+                import sys
+
+                print(f"(skipping {m} snr={snr}: swept on {_entry_root(res, snr)}, but "
+                      f"{gt_method}'s gt_shear is from {_entry_root(gt_res, snr)} — "
+                      "rec/gt from different datasets are not comparable)", file=sys.stderr)
+                continue
             if str(snr) in res and str(snr) in gt_res:
                 row[snr] = _median_err(res[str(snr)]["rec_shear"], gt_res[str(snr)]["gt_shear"])
         if "time" in res:
@@ -151,8 +169,17 @@ def psf_error_table(
     gt_snr: int = 100,
 ) -> dict:
     """Per-method median-ellipticity-error rows vs systematic PSF error
-    (the reference's figures/psf_error.ipynb metric, tabulated)."""
-    gt = load_method_results(result_path, gt_method)[str(gt_snr)]["gt_shear"]
+    (the reference's figures/psf_error.ipynb metric, tabulated).
+
+    Note on provenance: the perturbed-PSF sweeps run on the 1k companion
+    dataset while gt_shear comes from the main sweep's ``gt_method`` row;
+    both generators draw test chunks from the same key stream
+    (scripts/generate_sharded.py chunk_plan), so row k is the same galaxy
+    — verified bit-identical over the shared first 1000 gt stamps."""
+    try:
+        gt = load_method_results(result_path, gt_method)[str(gt_snr)]["gt_shear"]
+    except (FileNotFoundError, KeyError):
+        return {}
     table = {}
     for m in methods:
         try:

@@ -32,9 +32,23 @@ def _load_results(path: pathlib.Path) -> dict:
         return {}
 
 
-def _merge_write(path: pathlib.Path, update: dict):
+def _merge_write(path: pathlib.Path, update: dict, data_root=None):
     path.parent.mkdir(parents=True, exist_ok=True)
     results = _load_results(path)
+    if data_root is not None:
+        # dataset changed under this results file: per-entry rows swept on
+        # the old dataset are not comparable with anything swept on the new
+        # one, and a file-level stamp alone would mislabel them (a re-sweep
+        # killed mid-method leaves old-dataset rows under a new stamp) —
+        # drop every entry not stamped with the incoming root before merging
+        prev = results.get("meta", {}).get("data_root")
+        if prev is not None and prev != str(data_root):
+            results = {
+                k: v
+                for k, v in results.items()
+                if not (isinstance(v, dict) and k != "meta"
+                        and v.get("data_root", prev) != str(data_root))
+            }
     for k, v in update.items():
         if isinstance(v, dict):
             results.setdefault(k, {}).update(v)
@@ -131,17 +145,20 @@ def run_shear_test(
     for snr in snrs:
         ds = GalaxyDataset(data_root, "test", obs_variant=f"obs_{snr}")
         rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh)
-        update = {str(snr): {"rec_shear": rec_shear.tolist()}}
+        update = {str(snr): {"rec_shear": rec_shear.tolist(),
+                             "data_root": str(data_root)}}
         if method == "No_Deconv":
             n = rec_shear.shape[0]
             gt = jnp.asarray(ds.gt[:n].astype(np.float32))
             update[str(snr)]["gt_shear"] = np.asarray(estimate_shear(gt)).tolist()
-        # provenance stamp: summaries refuse to compare rec_shear and
-        # gt_shear that came from different benchmark datasets (mixing them
-        # silently yields a meaningless flat ~0.11 median — observed when a
-        # staged re-sweep was mid-flight over a regenerated dataset)
+        # provenance stamps (file-level meta + per-SNR): summaries refuse to
+        # compare rec_shear and gt_shear that came from different benchmark
+        # datasets (mixing them silently yields a meaningless flat ~0.11
+        # median — observed when a staged re-sweep was mid-flight over a
+        # regenerated dataset); the per-entry stamp keeps rows written
+        # before a mid-method kill from inheriting the new file-level stamp
         update["meta"] = {"data_root": str(data_root), "n_gal": int(rec_shear.shape[0])}
-        _merge_write(results_file, update)
+        _merge_write(results_file, update, data_root=data_root)
         logger.info("%s snr=%s: %d galaxies", method, snr, rec_shear.shape[0])
     return _load_results(results_file)
 
@@ -170,7 +187,12 @@ def run_time_test(
     t0 = time.time()
     rec = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh)  # np result: already synced
     elapsed = time.time() - t0
-    _merge_write(pathlib.Path(result_path) / (result_name or method) / "results.json", {"time": (elapsed, int(rec.shape[0]))})
+    _merge_write(
+        pathlib.Path(result_path) / (result_name or method) / "results.json",
+        {"time": (elapsed, int(rec.shape[0])),
+         "meta": {"data_root": str(data_root)}},
+        data_root=data_root,
+    )
     logger.info("%s: %d galaxies in %.3fs (%.1f gal/s)", method, rec.shape[0], elapsed, rec.shape[0] / elapsed)
     return elapsed
 
@@ -195,7 +217,12 @@ def run_psf_error_test(
     for e in errs:
         ds = GalaxyDataset(data_root, "test", psf_variant=f"psf_{kind}_err_{e}")
         rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh)
-        _merge_write(results_file, {str(e): {"rec_shear": rec_shear.tolist()}})
+        _merge_write(
+            results_file,
+            {str(e): {"rec_shear": rec_shear.tolist(), "data_root": str(data_root)},
+             "meta": {"data_root": str(data_root)}},
+            data_root=data_root,
+        )
         logger.info("%s psf_%s_err=%s done", method, kind, e)
     return _load_results(results_file)
 
@@ -227,7 +254,17 @@ def run_psnr_test(
             rec = obs if method in ("No_Deconv", "FPFS") else apply_fn(obs, psf, alpha)
             vals.append(np.asarray(psnr(rec, jnp.asarray(b["gt"]))))
         vals = np.concatenate(vals)
-        _merge_write(results_file, {str(snr): {"psnr_mean": float(np.mean(vals)), "psnr_median": float(np.median(vals))}})
+        # PSNR compares rec against the same batch's gt, so it cannot mix
+        # datasets internally — but an unstamped merge into a results.json
+        # whose shear rows came from a different dataset would silently
+        # co-report incomparable sweeps; stamp and validate like the rest
+        _merge_write(
+            results_file,
+            {str(snr): {"psnr_mean": float(np.mean(vals)),
+                        "psnr_median": float(np.median(vals)),
+                        "data_root": str(data_root)}},
+            data_root=data_root,
+        )
         logger.info("%s snr=%s: PSNR median %.2f dB", method, snr, float(np.median(vals)))
     return _load_results(results_file)
 

@@ -62,7 +62,8 @@ see RESULTS.md "Shear-metric validation"):
 
 * element-wise equivalence with the batched JAX implementation
   (``metrics/shear.py``) on asymmetric stamps
-  (``tests/test_metrics.py::TestNumpyTwin``);
+  (``tests/test_metrics.py::TestShearEstimator::
+  test_matches_numpy_twin_on_asymmetric_images``);
 * metamorphic tests: recovers applied shears through the PSF
   deconvolution path to sub-percent accuracy, translation invariance
   (no centroiding, as in fpfs), unbiasedness on sheared Gaussians

@@ -160,3 +160,69 @@ class TestBootstrapCI:
             (d / "results.json").write_text(json.dumps(payload))
         table = summarize_cis(tmp_path, ["M", "missing_method"], snrs=(20, 100))
         assert "| M |" in table and "[" in table and "missing_method" not in table
+
+
+class TestProvenanceGuards:
+    """Dataset-provenance stamping: per-entry stamps, stale-row dropping on
+    dataset change (advisor round-3 medium finding), per-cell report guards."""
+
+    def _write(self, d, payload):
+        import json
+
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "results.json").write_text(json.dumps(payload))
+
+    def test_merge_drops_stale_entries_on_dataset_change(self, tmp_path):
+        from galaxy_deconv_tpu.eval.harness import _load_results, _merge_write
+
+        path = tmp_path / "M" / "results.json"
+        _merge_write(path, {"20": {"rec_shear": [[0, 0, 0.1]], "data_root": "dsA"},
+                            "meta": {"data_root": "dsA"}}, data_root="dsA")
+        # a re-sweep over a new dataset killed mid-method: the first leg of
+        # the new sweep must purge the old dataset's rows, not co-exist with
+        # them under the refreshed file-level stamp
+        _merge_write(path, {"40": {"rec_shear": [[0, 0, 0.2]], "data_root": "dsB"},
+                            "meta": {"data_root": "dsB"}}, data_root="dsB")
+        res = _load_results(path)
+        assert "20" not in res  # stale dsA row dropped
+        assert res["40"]["data_root"] == "dsB"
+        assert res["meta"]["data_root"] == "dsB"
+
+    def test_merge_keeps_entries_stamped_with_incoming_root(self, tmp_path):
+        from galaxy_deconv_tpu.eval.harness import _load_results, _merge_write
+
+        path = tmp_path / "M" / "results.json"
+        _merge_write(path, {"20": {"rec_shear": [[0, 0, 0.1]], "data_root": "dsB"},
+                            "meta": {"data_root": "dsB"}}, data_root="dsB")
+        # simulate a file whose meta still says dsA (e.g. a stale time stamp)
+        import json
+
+        res = _load_results(path)
+        res["meta"]["data_root"] = "dsA"
+        path.write_text(json.dumps(res))
+        _merge_write(path, {"40": {"rec_shear": [[0, 0, 0.2]], "data_root": "dsB"},
+                            "meta": {"data_root": "dsB"}}, data_root="dsB")
+        res = _load_results(path)
+        assert "20" in res  # already stamped dsB: survives the dsA->dsB flip
+
+    def test_report_guards_are_per_cell(self, tmp_path):
+        from galaxy_deconv_tpu.analysis.report import error_table
+
+        shear = [[0.0, 0.0, 0.3]] * 4
+        self._write(tmp_path / "No_Deconv",
+                    {"20": {"rec_shear": shear, "gt_shear": shear, "data_root": "dsB"},
+                     "40": {"rec_shear": shear, "gt_shear": shear, "data_root": "dsB"},
+                     "meta": {"data_root": "dsB"}})
+        # method row: snr 20 swept on dsB, snr 40 stale from dsA
+        self._write(tmp_path / "M",
+                    {"20": {"rec_shear": shear, "data_root": "dsB"},
+                     "40": {"rec_shear": shear, "data_root": "dsA"},
+                     "meta": {"data_root": "dsB"}})
+        table = error_table(tmp_path, ["M"], snrs=(20, 40))
+        assert 20 in table["M"] and 40 not in table["M"]
+
+    def test_error_table_degrades_without_gt_method(self, tmp_path):
+        from galaxy_deconv_tpu.analysis.report import error_table, psf_error_table
+
+        assert error_table(tmp_path, ["M"], snrs=(20,)) == {}
+        assert psf_error_table(tmp_path, ["M"], errs=(0.01,)) == {}
