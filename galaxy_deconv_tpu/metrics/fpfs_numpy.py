@@ -30,20 +30,26 @@ auditability:
   chi_22 = x/sqrt(2) exp(-x/2) e^{2 i phi},
   chi_40 = (x^2-4x+2)/2 exp(-x/2).
 
-* Measurement — the method measures the Fourier *power function* (hence
-  the name), deconvolved by the PSF power::
+* Measurement — *linear* shapelet moments of the deconvolved Fourier
+  transform (the fpfs 3.x algorithm, Li & Mandelbaum 2022)::
 
-      D(k)  = |F[gal](k)|^2 / |F[psf](k)|^2
-      M_nm  = (1/N^2) sum_k D(k) conj(chi_nm)(k)
+      G(k)  = F[gal](k) / F[psf](k)          (zeroed beyond klim)
+      M_nm  = Re sum_k G(k) conj(chi_nm)(k)
 
-  The power function is translation-invariant (phases drop out), so no
-  centroiding is needed and a centered delta "PSF" (|P|^2 = 1) is the
-  no-deconvolution identity — exactly how the reference measures
-  already-deconvolved images (``delta_2D``, ``utils/utils_test.py:27-30``).
-  The PSF power is floored at a small fraction of its DC value; with the
-  sigma_arcsec=0.6 weight the Gaussian envelope dies ~e^-40 before any
-  realistic PSF does, so the floor is inert in practice (fpfs's ``klim``
-  truncation plays the same role).
+  A centered delta "PSF" divides out the stamp-center phase — exactly how
+  the reference measures already-deconvolved images (``delta_2D``,
+  ``utils/utils_test.py:27-30``); stamps are therefore assumed centered
+  at (H//2, W//2), as in the real package.  The klim band limit
+  replicates ``fpfs`` ``get_klim`` (threshold 1e-20 on the shapelet
+  Gaussian over the max-normalized PSF power).
+
+  NOTE (round-4 correction): through round 3 this twin implemented the
+  original 2018 *power-function* moments (|F_gal|^2/|F_psf|^2).  Power
+  moments rectify noise into a positive pedestal, which made every
+  noise-dominated measurement diverge from the reference's committed
+  results (RL(30)@SNR20 0.587 vs 0.146) independently of any population
+  knob.  ``scripts/diagnose_rl.py`` holds the decomposition; the linear
+  form reproduces the reference's per-method |g_rec| distributions.
 
 * Ellipticity and shear response (Li & Mandelbaum 2022 eq. 13-14; the
   package's ``fpfsM2E`` with ``const=C``, ``noirev=False``)::
@@ -65,9 +71,10 @@ see RESULTS.md "Shear-metric validation"):
   (``tests/test_metrics.py::TestShearEstimator::
   test_matches_numpy_twin_on_asymmetric_images``);
 * metamorphic tests: recovers applied shears through the PSF
-  deconvolution path to sub-percent accuracy, translation invariance
-  (no centroiding, as in fpfs), unbiasedness on sheared Gaussians
-  (same file);
+  deconvolution path to sub-percent accuracy, unbiasedness on sheared
+  Gaussians (same file; unlike the power function, the linear estimator
+  is position-sensitive — the tests check centered-stamp behavior and
+  continuity under sub-pixel shifts, matching the real package);
 * a population-level fingerprint test against the reference's committed
   *real-fpfs* outputs (``results_200/*/results.json``): gt-shear
   distribution, seeing dilution, and error-vs-SNR curve shape
@@ -129,18 +136,35 @@ def fpfs_moments_numpy(
         psf = delta_psf(H, W)
     psf = np.asarray(psf, np.float64)
 
-    galPow = np.abs(np.fft.fft2(gal)) ** 2
-    psfPow = np.abs(np.fft.fft2(psf)) ** 2
-    # Floor the PSF power at a small fraction of its DC value (fpfs uses a
-    # hard klim cut from the PSF power instead; both are inert under the
-    # sigma_arcsec=0.6 Gaussian envelope, which reaches ~e^-40 at Nyquist).
-    D = galPow / np.maximum(psfPow, 1e-12 * psfPow.max())
+    # linear (fpfs 3.x) measurement: deconvolved Fourier TRANSFORM, not the
+    # 2018 power function — see metrics/shear.py's module docstring for why
+    # (noise-rectification vs the reference's committed low-SNR results)
+    F = np.fft.fft2(gal)
+    P = np.fft.fft2(psf)
+    Pmag = np.abs(P)
+    safe = Pmag > 1e-12 * Pmag.max()
+    G = np.where(safe, F / np.where(safe, P, 1.0), 0.0)
+
+    # fpfs get_klim band limit (inert for a delta PSF; rarely binds here)
+    sigma_f = H * pix_scale / (2.0 * np.pi * sigma_arcsec)
+    Ppow = Pmag**2 / Pmag.max() ** 2
+    klim = H // 2 - 1
+    for dist in range(H // 5, H // 2 - 1):
+        ave = np.exp(-(dist**2) / (2.0 * sigma_f**2)) / max(
+            0.5 * (Ppow[dist, 0] + Ppow[0, dist]), 1e-300
+        )
+        if ave <= 1e-20:
+            klim = dist
+            break
+    gy = np.abs(np.fft.fftfreq(H) * H)
+    gx = np.abs(np.fft.fftfreq(W) * W)
+    rgrid = np.hypot(*np.meshgrid(gy, gx, indexing="ij"))
+    D = np.where(rgrid <= klim, G, 0.0).real
 
     chi00, chi22, chi40 = _basis((H, W), sigma_arcsec, pix_scale)
-    n = 1.0 / (H * W)
-    m00 = float(np.sum(D * chi00).real) * n
-    m22 = complex(np.sum(D * chi22)) * n
-    m40 = float(np.sum(D * chi40).real) * n
+    m00 = float(np.sum(D * chi00).real)
+    m22 = complex(np.sum(D * chi22))
+    m40 = float(np.sum(D * chi40).real)
     return {"M00": m00, "M22c": m22.real, "M22s": m22.imag, "M40": m40}
 
 

@@ -1,39 +1,60 @@
-"""Batched FPFS shear estimation in JAX.
+"""Batched FPFS shear estimation in JAX (linear shapelet estimator).
 
 The reference measures shear per galaxy on the CPU with the ``fpfs``
-package (v3.0.2): Fourier Power Function Shapelet moments of the
-PSF-power-deconvolved galaxy power spectrum, combined into a per-galaxy
-ellipticity and its shear response (reference ``utils/utils_test.py:33-49``,
-with ``sigma_arcsec=0.6``, ``pix_scale=0.2``, ``const=1``, ``noirev=False``).
+package (v3.0.2 pinned, requirements.txt:7): shapelet moments of the
+PSF-deconvolved galaxy *Fourier transform*, combined into a per-galaxy
+ellipticity and shear response (reference ``utils/utils_test.py:33-49``,
+with ``sigma_arcsec=0.6``, ``pix_scale=0.2``, ``const=1``,
+``noirev=False``).  This module implements the same measurement natively
+in JAX, fully batched over stamps, so the 10k-galaxy x 7-SNR evaluation
+sweep is a handful of jitted device calls instead of 70k python/CPU
+roundtrips.
 
-This module implements the same measurement natively in JAX, fully batched
-over stamps, so the 10k-galaxy x 7-SNR evaluation sweep is a handful of
-jitted device calls instead of 70k python/CPU roundtrips.  The algorithm
-(derived from the FPFS papers — Li et al. 2018, MNRAS 481; Li & Mandelbaum
-2022, arXiv:2110.01214 — because the package itself is not installable
-here) is shared line-for-line with the auditable NumPy twin in
-:mod:`galaxy_deconv_tpu.metrics.fpfs_numpy`; see that module's docstring
-for the full derivation and validation story.  In brief::
+Algorithm (Li & Mandelbaum 2022, arXiv:2110.01214 — the algorithm of the
+fpfs 3.x package; the package itself is not installable here)::
 
-    D(k)  = |F[gal](k)|^2 / |F[psf](k)|^2        (power function; delta PSF
-                                                  = no deconvolution)
-    M00   = (1/N^2) sum D exp(-x/2)               x = |k|^2 sigma^2
-    M22   = (1/N^2) sum D (x/sqrt 2) e^{-2 i phi} exp(-x/2)
-    M40   = (1/N^2) sum D ((x^2-4x+2)/2) exp(-x/2)
+    G(k)  = F[gal](k) / F[psf](k)     deconvolved Fourier transform,
+                                      zeroed beyond the klim band limit
+    M00   = Re sum_k G chi00*         chi00 = exp(-x/2),  x = |k|^2 sigma^2
+    M22   =    sum_k G chi22*         chi22 = (x/sqrt 2) e^{-2 i phi} exp(-x/2)
+    M40   = Re sum_k G chi40*         chi40 = ((x^2-4x+2)/2) exp(-x/2)
     e_i   = M22{c,s} / (M00 + C)
-    R1E   = (s0 - s4)/sqrt(2) + sqrt(2) e1^2
-    g_i   = e_i / R1E                             (R1E for BOTH — reference
-                                                  quirk, utils_test.py:45-47)
+    R1E   = (s0 - s4)/sqrt(2) + sqrt(2) e1^2,  s_q = M_q/(M00 + C)
+    g_i   = e_i / R1E                 (R1E for BOTH components — reference
+                                      quirk, utils_test.py:45-47)
 
-The power function is translation invariant, so no centroiding is needed
-(or performed — matching fpfs).  Stamps are background-subtracted by their
-minimum first, replicating ``task.measure(obs - obs.min())``.
+**Linear, not power-function, moments.**  Through round 3 this module
+implemented the original FPFS power function (Li et al. 2018: the same
+moments of |F[gal]|^2/|F[psf]|^2).  That variant rectifies noise — the
+noise power adds a positive pedestal to every moment — which made
+noise-dominated measurements diverge from the reference's committed
+results (RL(30) at SNR 20: 0.587 here vs 0.146 there) while *no*
+population knob could move the gap.  The linear moments above are
+zero-mean in the noise and reproduce the reference's per-method |g_rec|
+distributions at every SNR (see scripts/diagnose_rl.py for the
+decomposition that found this, and RESULTS.md "Shear-metric
+validation").
 
-TPU design notes: inputs are real, so the half-spectrum ``rfft2`` is used
-with Hermitian double-count weights (D(-k) = D(k) and the m=0/2/4 basis
-phases are pair-invariant, so the half-plane sum is exact).  Everything is
-pointwise algebra around one rfft2 — XLA fuses it into a single pass, and
-measurement costs ~1/30th of a solver forward at benchmark batch sizes.
+The klim band limit replicates ``fpfs.image.measure_source``: the
+deconvolution is truncated at the grid radius where the shapelet
+Gaussian over the PSF power drops below 1e-20 (inert for a delta PSF,
+and for these 48x48 LSST stamps it rarely binds — the Gaussian window
+itself suppresses the badly-conditioned high-k modes).
+
+Unlike the power function, the linear measurement is phase- (i.e.
+position-) sensitive, exactly as the real fpfs is: stamps are assumed
+centered at ``(H//2, W//2)`` (the reference's convention — its delta
+'PSF' puts the impulse there, cancelling the centering phase of the
+galaxy's transform).  Stamps are background-subtracted by their minimum
+first, replicating ``task.measure(obs - obs.min())``.
+
+TPU design notes: images are real, so the half-spectrum ``rfft2`` is
+used with Hermitian double-count weights — G(-k) = G*(k) and the
+m=0/2/4 basis phases are pair-invariant, so the full-plane moment sums
+equal the half-plane sums over ``Re G`` (the imaginary parts cancel in
+conjugate pairs).  Everything is pointwise algebra around one rfft2 —
+XLA fuses it into a single pass, and measurement costs ~1/30th of a
+solver forward at benchmark batch sizes.
 """
 
 from __future__ import annotations
@@ -43,6 +64,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+KLIM_THRES = 1e-20  # fpfs get_klim threshold
 
 
 def delta_psf(h: int = 48, w: int = 48) -> np.ndarray:
@@ -55,7 +78,8 @@ def delta_psf(h: int = 48, w: int = 48) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _basis_np(shape: tuple[int, int], sigma_arcsec: float, pix_scale: float):
-    """Half-spectrum chi_00*, chi_22*, chi_40* with Hermitian multiplicity."""
+    """Half-spectrum chi_00*, chi_22*, chi_40* with Hermitian multiplicity,
+    plus the grid radius (in full-grid pixels) used for the klim cut."""
     H, W = shape
     ky = 2.0 * np.pi * np.fft.fftfreq(H, d=pix_scale)
     kx = 2.0 * np.pi * np.fft.rfftfreq(W, d=pix_scale)
@@ -67,7 +91,7 @@ def _basis_np(shape: tuple[int, int], sigma_arcsec: float, pix_scale: float):
     phi = np.arctan2(KX, KY)
     w = np.exp(-x / 2.0)
     # each interior rfft column represents a conjugate (k, -k) pair; the
-    # power function is even and the basis phases are pair-invariant
+    # basis phases are pair-invariant and Re G is pair-symmetric
     mult = np.full((H, W // 2 + 1), 2.0)
     mult[:, 0] = 1.0
     if W % 2 == 0:
@@ -75,9 +99,30 @@ def _basis_np(shape: tuple[int, int], sigma_arcsec: float, pix_scale: float):
     chi00 = w * mult
     chi22 = (x / np.sqrt(2.0)) * w * np.exp(-2j * phi) * mult
     chi40 = ((x**2 - 4.0 * x + 2.0) / 2.0) * w * mult
+    gy = np.abs(np.fft.fftfreq(H) * H)
+    gx = np.abs(np.fft.rfftfreq(W) * W)
+    rgrid = np.hypot(*np.meshgrid(gy, gx, indexing="ij"))
     # plain numpy (not jnp): this is lru_cached and may be hit inside a jit
     # trace — device constants are materialized at the use site instead
-    return chi00.astype(np.float32), chi22.astype(np.complex64), chi40.astype(np.float32)
+    return (chi00.astype(np.float32), chi22.astype(np.complex64),
+            chi40.astype(np.float32), rgrid.astype(np.float32))
+
+
+def _klim(Ppow: jnp.ndarray, sigma_f: float, H: int) -> jnp.ndarray:
+    """fpfs ``get_klim``: smallest axis distance in [H//5, H//2-1) where the
+    shapelet Gaussian over the (max-normalized) PSF power drops below
+    KLIM_THRES, else H//2-1.  ``Ppow``: (B, H, W//2+1) half-spectrum power.
+    Returns (B,) radii in grid pixels."""
+    dists = jnp.arange(H // 5, H // 2 - 1)
+    gauss = jnp.exp(-(dists**2) / (2.0 * sigma_f**2))
+    # PSF power along the two axes: rows (ky=dist, kx=0) and (ky=0, kx=dist)
+    row = Ppow[:, dists, 0]
+    col = Ppow[:, 0, dists]
+    ave = gauss[None, :] / jnp.maximum(0.5 * (row + col), 1e-300)
+    below = ave <= KLIM_THRES
+    first = jnp.argmax(below, axis=1)
+    found = jnp.any(below, axis=1)
+    return jnp.where(found, dists[first], H // 2 - 1).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma_arcsec", "pix_scale", "deconv_psf"))
@@ -88,26 +133,42 @@ def fpfs_moments(
     pix_scale: float = 0.2,
     deconv_psf: bool = False,
 ) -> dict[str, jnp.ndarray]:
-    """FPFS power-function shapelet moments of (B, H, W) stamps.
+    """FPFS shapelet moments of (B, H, W) stamps.
 
-    ``psf``: (B, H, W) PSF stamps whose *power* deconvolves the galaxy
-    power when ``deconv_psf=True``; otherwise the delta-PSF identity
-    applies (the reference's convention for post-deconvolution images).
+    ``psf``: (B, H, W) PSF stamps (centered at H//2, W//2) whose Fourier
+    transform deconvolves the galaxy transform when ``deconv_psf=True``;
+    otherwise the centered-delta identity applies (the reference's
+    convention for post-deconvolution images), whose transform is a pure
+    centering phase.
     """
     B, H, W = images.shape
     images = images.astype(jnp.float32)
     images = images - images.min(axis=(-2, -1), keepdims=True)  # reference: obs - obs.min()
-    D = jnp.abs(jnp.fft.rfft2(images, axes=(-2, -1))) ** 2
-    if deconv_psf:
-        P = jnp.abs(jnp.fft.rfft2(psf.astype(jnp.float32), axes=(-2, -1))) ** 2
-        P = jnp.maximum(P, 1e-12 * P.max(axis=(-2, -1), keepdims=True))
-        D = D / P
+    F = jnp.fft.rfft2(images, axes=(-2, -1))
 
-    chi00, chi22, chi40 = _basis_np((H, W), float(sigma_arcsec), float(pix_scale))
-    n = 1.0 / (H * W)
-    m00 = jnp.sum(D * chi00, axis=(-2, -1)) * n
-    m22 = jnp.sum(D * chi22, axis=(-2, -1)) * n
-    m40 = jnp.sum(D * chi40, axis=(-2, -1)) * n
+    chi00, chi22, chi40, rgrid = _basis_np((H, W), float(sigma_arcsec), float(pix_scale))
+    fy = jnp.fft.fftfreq(H)[:, None]
+    fx = jnp.fft.rfftfreq(W)[None, :]
+    if deconv_psf:
+        P = jnp.fft.rfft2(psf.astype(jnp.float32), axes=(-2, -1))
+        # guard only against numerically-dead modes (|P| ~ fp32 noise); the
+        # Gaussian window already suppresses everything out there
+        Pmag = jnp.abs(P)
+        safe = Pmag > 1e-12 * Pmag.max(axis=(-2, -1), keepdims=True)
+        G = jnp.where(safe, F / jnp.where(safe, P, 1.0), 0.0)
+        sigma_f = H * pix_scale / (2.0 * np.pi * sigma_arcsec)
+        klim = _klim(Pmag**2 / jnp.max(Pmag, axis=(-2, -1), keepdims=True) ** 2, sigma_f, H)
+        G = jnp.where(jnp.asarray(rgrid)[None] <= klim[:, None, None], G, 0.0)
+    else:
+        # delta at (H//2, W//2): F[delta] = e^{-2 pi i (fy H//2 + fx W//2)};
+        # dividing by it re-centers the galaxy's transform
+        phase = jnp.exp(2j * jnp.pi * (fy * (H // 2) + fx * (W // 2)))
+        G = F * phase
+    D = jnp.real(G)
+
+    m00 = jnp.sum(D * chi00, axis=(-2, -1))
+    m22 = jnp.sum(D * chi22, axis=(-2, -1))
+    m40 = jnp.sum(D * chi40, axis=(-2, -1))
     return {
         "M00": m00,
         "M22c": jnp.real(m22),

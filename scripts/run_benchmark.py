@@ -72,7 +72,15 @@ def main():
                         help="skip all eval sweeps; refresh the RESULTS.md tables from "
                              "whatever results are already on disk (the final stage of a "
                              "staged, resumable pipeline — scripts/round3_eval.sh)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (table refreshes / checkpoint "
+                             "discovery shouldn't touch the tunneled TPU)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import logging
 

@@ -61,14 +61,33 @@ class TestShearEstimator:
             gn = estimate_shear_numpy(img[b])
             np.testing.assert_allclose(g[b], gn, rtol=1e-4, atol=1e-5)
 
-    def test_translation_invariance(self):
-        """The power function is translation invariant: a shifted copy of a
-        galaxy must measure the same shear with no recentering."""
+    def test_position_sensitivity_matches_fpfs_convention(self):
+        """The linear estimator (fpfs 3.x) is phase- i.e. position-
+        sensitive: stamps are assumed centered at (H//2, W//2), matching
+        the real package (its delta 'PSF' cancels exactly that centering
+        phase).  Two properties replace the power function's exact
+        translation invariance: (a) measuring a rolled galaxy while
+        deconvolving by the identically-rolled delta recovers the centered
+        measurement exactly (the phases cancel); (b) the estimate is
+        continuous under small shifts of a centered galaxy."""
         a = sheared_gaussian(0.04, 0.02, sigma=3.0)
-        b = np.roll(np.roll(a, 3, axis=0), -2, axis=1)
         ea = np.asarray(estimate_shear(jnp.asarray(a[None])))[0]
-        eb = np.asarray(estimate_shear(jnp.asarray(b[None])))[0]
-        np.testing.assert_allclose(ea, eb, atol=1e-5)
+
+        # (a) rolled galaxy + identically-rolled delta "PSF"
+        b = np.roll(np.roll(a, 3, axis=0), -2, axis=1)
+        d = np.roll(np.roll(delta_psf(48, 48), 3, axis=0), -2, axis=1)
+        eb = np.asarray(
+            estimate_shear(jnp.asarray(b[None]), jnp.asarray(d[None]), deconv_psf=True)
+        )[0]
+        np.testing.assert_allclose(ea, eb, atol=1e-4)
+
+        # (b) continuity: a 1-px decenter perturbs the estimate at the
+        # ~(shift/sigma_weight)^2 level (~0.03 here; benchmark stamps are
+        # centered to +-0.25 px, i.e. ~2e-3), far from the wholesale change
+        # an uncompensated multi-pixel roll causes
+        c = np.roll(a, 1, axis=0)
+        ec = np.asarray(estimate_shear(jnp.asarray(c[None])))[0]
+        assert abs(ec[0] - ea[0]) < 0.05 and abs(ec[1] - ea[1]) < 0.05
 
     def test_round_galaxy_zero_shear(self):
         img = sheared_gaussian(0.0, 0.0)
