@@ -39,7 +39,26 @@ def upload_split(ds: GalaxyDataset, limit: Optional[int] = None) -> dict:
 
 def make_indexed_train_step(model, loss_fn: Callable, optimizer, data: dict, donate: bool = True):
     """(state, idx) -> (state, loss): gather the minibatch on device."""
+    step = _indexed_step_fn(model, loss_fn, optimizer, data)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
+
+def make_indexed_multi_step(model, loss_fn: Callable, optimizer, data: dict, donate: bool = True):
+    """(state, idxs[K, B]) -> (state, mean loss): K train steps fused into
+    one ``lax.scan``'d XLA call — over the tunneled backend the per-call
+    dispatch latency dominates a 32-stamp step, so fusing K steps cuts an
+    epoch's round-trips by K (the offline counterpart of
+    ``fit_online(steps_per_call=...)``)."""
+    step = _indexed_step_fn(model, loss_fn, optimizer, data)
+
+    def multi(state: TrainState, idxs: jnp.ndarray):
+        state, losses = jax.lax.scan(lambda st, idx: step(st, idx), state, idxs)
+        return state, losses.mean()
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def _indexed_step_fn(model, loss_fn: Callable, optimizer, data: dict):
     def step(state: TrainState, idx: jnp.ndarray):
         batch = {k: v[idx] for k, v in data.items()}
 
@@ -74,7 +93,7 @@ def make_indexed_train_step(model, loss_fn: Callable, optimizer, data: dict, don
             loss,
         )
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
 
 
 def fit_device_resident(

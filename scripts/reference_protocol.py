@@ -1,0 +1,168 @@
+"""The reference-protocol training experiment (VERDICT round-3 #2).
+
+RESULTS.md's round-3 closing hypothesis for the unreproduced iteration
+separation (reference SNR-20 ADMM(2)/(4)/(8) = 0.0796/0.0699/0.0656 vs
+our statistically-tied depths) was that the reference's *fixed-dataset
+epoch regime* — not unrolled depth — produced its ordering.  This script
+tests that directly by replicating the reference's training protocol
+(reference ``train.py:25-143`` + its CLI defaults, ``:153-165``) inside
+this framework:
+
+* a FIXED dataset of 40,000 stamps (the reference's ``n_train``,
+  ``generate_data.py:459``) with the train split's random-SNR
+  distribution (p ∝ snr^-0.7 on [18, 220]) — simulated once on device
+  with a fixed key and held in HBM (train/device_resident.py), so every
+  epoch revisits the same 40k galaxies exactly as a disk dataset would;
+* train/val split 0.9 (CLI default), batch 32, Adam lr 2e-4 constant
+  (no schedule — the reference has none), global-norm clip 1.0,
+  MultiScale loss;
+* n_epochs epochs (CLI default 50) with the reference's save rule: new
+  best-val or every 5 epochs; best-val epoch recorded in the history
+  file so the benchmark sweep picks the best-val checkpoint
+  (``train.checkpoint.best_epoch``), matching the reference's model
+  selection;
+* fresh initialization per depth (the reference trains each n_iters
+  from scratch).
+
+Afterwards, sweep the three checkpoints on the 10k benchmark
+(``run_benchmark.py --only Unrolled_ADMM_Gaussian(8)_refproto ...``) and
+compare the depth ordering against both the online-trained rows and the
+reference's committed numbers.
+
+Usage: python scripts/reference_protocol.py [--epochs 50] [--models 8 4 2]
+"""
+
+import argparse
+import json
+import logging
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", type=int, nargs="+", default=[8, 4, 2])
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--n_stamps", type=int, default=40000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--split", type=float, default=0.9)
+    ap.add_argument("--chunk", type=int, default=1000, help="simulation chunk size")
+    ap.add_argument("--steps_per_call", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=31415)
+    ap.add_argument("--save_path", default="saved_models_online")
+    ap.add_argument("--out", default="figures/reference_protocol.json")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from galaxy_deconv_tpu.data.dataset import train_val_indices
+    from galaxy_deconv_tpu.data.simulate import SimulationConfig, simulate_batch
+    from galaxy_deconv_tpu.losses import build_loss
+    from galaxy_deconv_tpu.models import UnrolledADMMGaussian
+    from galaxy_deconv_tpu.train import create_train_state
+    from galaxy_deconv_tpu.train.checkpoint import save_checkpoint
+    from galaxy_deconv_tpu.train.device_resident import make_indexed_multi_step
+    from galaxy_deconv_tpu.train.state import default_optimizer
+    from galaxy_deconv_tpu.utils.watchdog import StallWatchdog
+
+    cfg = SimulationConfig()
+    dog = StallWatchdog(600.0, name="refproto[sim]").start()
+
+    # --- the fixed dataset: simulated once, deterministic in the seed ---
+    key = jax.random.PRNGKey(args.seed)
+    chunks = []
+    for ci in range((args.n_stamps + args.chunk - 1) // args.chunk):
+        b = simulate_batch(jax.random.fold_in(key, ci), args.chunk, cfg)
+        chunks.append({k: b[k] for k in ("obs", "psf", "gt")})
+        dog.beat()
+    data = {k: jnp.concatenate([c[k] for c in chunks])[: args.n_stamps] for k in chunks[0]}
+    del chunks
+    # per-sample alpha = mean(obs): the Galaxy_Dataset convention the
+    # reference trains with (utils/utils_data.py:100-101)
+    data["alpha"] = data["obs"].mean(axis=(-2, -1))
+    n = int(data["obs"].shape[0])
+    print(f"fixed dataset: {n} stamps resident on {data['obs'].device}")
+    tr_idx, va_idx = train_val_indices(n, args.split, args.seed)
+    dog.stop()
+
+    loss_fn = build_loss("MultiScale")
+    report = {"protocol": {"epochs": args.epochs, "n_stamps": n, "batch": args.batch,
+                           "lr": args.lr, "split": args.split, "loss": "MultiScale",
+                           "lr_schedule": "constant", "selection": "best-val"},
+              "runs": {}}
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    for n_iters in args.models:
+        name = f"RefProto_Gaussian_PnP_ADMM_{n_iters}iters_MultiScale"
+        dog = StallWatchdog(600.0, name=f"refproto[{name}]").start()
+        model = UnrolledADMMGaussian(features=(32, 64, 128, 256), n_iters=n_iters)
+        sample = {k: np.asarray(v[:2]) for k, v in data.items()}
+        optimizer = default_optimizer(args.lr)  # constant lr + clip 1.0
+        state, optimizer = create_train_state(model, jax.random.PRNGKey(0), sample, optimizer)
+        multi_step = make_indexed_multi_step(model, loss_fn, optimizer, data)
+
+        @jax.jit
+        def eval_loss_batch(params, batch_stats, idx):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            b = {k: v[idx] for k, v in data.items()}
+            rec = model.apply(variables, b["obs"], b["psf"], b["alpha"], False)
+            return loss_fn(b["gt"], rec)
+
+        def full_val():
+            vals = []
+            for s in range(0, len(va_idx) - args.batch * 8 + 1, args.batch * 8):
+                vals.append(float(eval_loss_batch(state.params, state.batch_stats,
+                                                  jnp.asarray(va_idx[s: s + args.batch * 8]))))
+            return float(np.mean(vals))
+
+        rng = np.random.default_rng(args.seed)
+        hist = {"train_loss": [], "val_loss": [], "epoch_time": []}
+        best, best_epoch_n = float("inf"), 0
+        spc = args.steps_per_call
+        print(f"=== {name}: {args.epochs} epochs x {len(tr_idx) // args.batch} steps ===")
+        for epoch in range(args.epochs):
+            t0 = time.time()
+            order = tr_idx.copy()
+            rng.shuffle(order)
+            n_steps = len(order) // args.batch
+            n_calls = n_steps // spc
+            losses = []
+            for c in range(n_calls):
+                idxs = order[c * spc * args.batch: (c + 1) * spc * args.batch]
+                idxs = jnp.asarray(idxs.reshape(spc, args.batch))
+                state, loss = multi_step(state, idxs)
+                losses.append(float(loss))
+                dog.beat()
+            val = full_val()
+            hist["train_loss"].append(float(np.mean(losses)))
+            hist["val_loss"].append(val)
+            hist["epoch_time"].append(time.time() - t0)
+            print(f"  epoch {epoch + 1}/{args.epochs}: train={hist['train_loss'][-1]:.5g} "
+                  f"val={val:.5g} ({hist['epoch_time'][-1]:.1f}s)")
+            # reference save rule: new best-val or every 5 epochs (train.py:137-143)
+            if val < best or (epoch + 1) % 5 == 0:
+                if val < best:
+                    best, best_epoch_n = val, epoch + 1
+                save_checkpoint(args.save_path, name, epoch + 1, state)
+        # best-val selection for the benchmark sweep (checkpoint.best_epoch)
+        hist_file = pathlib.Path(args.save_path) / f"{name}_history.json"
+        hist_file.write_text(json.dumps({"best_step": best_epoch_n, **hist}))
+        report["runs"][name] = {"best_epoch": best_epoch_n, "best_val": best, **hist}
+        out.write_text(json.dumps(report, indent=1))
+        print(f"{name}: best val {best:.5g} at epoch {best_epoch_n}")
+        dog.stop()
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

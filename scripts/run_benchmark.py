@@ -27,6 +27,9 @@ TRAINED_SPECS = {
     # continuation of the Meyer-bank shape-constraint training (training-length
     # ablation for the ShapeNet_tpu vs transplanted-ShapeNet gap)
     "ShapeNet_tpu_cont": ("ShapeNet", "ShapeNet_Laplacian_cont"),
+    # round-4 continuation toward the reference's ~2M-sample training
+    # budget (VERDICT #6; scripts/round4_experiments.sh)
+    "ShapeNet_tpu_2M": ("ShapeNet", "ShapeNet_Laplacian_2M"),
     "Unrolled_ADMM_Poisson(8)": ("Unrolled_ADMM(8)", "Poisson_PnP_ADMM_8iters_MultiScale"),
     # bounded-rho schedule variants (every unrolled iteration active;
     # models/unrolled_admm_gaussian.py rho_bounds)
@@ -36,6 +39,15 @@ TRAINED_SPECS = {
                                           "Gaussian_PnP_ADMM_4iters_Bounded_MultiScale"),
     "Unrolled_ADMM_Gaussian(2)_bounded": ("Unrolled_ADMM_Gaussian_Bounded(2)",
                                           "Gaussian_PnP_ADMM_2iters_Bounded_MultiScale"),
+    # reference-protocol runs: fixed 40k dataset, bs 32, constant lr,
+    # best-val selection (scripts/reference_protocol.py — the round-3
+    # iteration-separation hypothesis test)
+    "Unrolled_ADMM_Gaussian(8)_refproto": ("Unrolled_ADMM_Gaussian(8)",
+                                           "RefProto_Gaussian_PnP_ADMM_8iters_MultiScale"),
+    "Unrolled_ADMM_Gaussian(4)_refproto": ("Unrolled_ADMM_Gaussian(4)",
+                                           "RefProto_Gaussian_PnP_ADMM_4iters_MultiScale"),
+    "Unrolled_ADMM_Gaussian(2)_refproto": ("Unrolled_ADMM_Gaussian(2)",
+                                           "RefProto_Gaussian_PnP_ADMM_2iters_MultiScale"),
 }
 
 # reference shipped checkpoints transplanted through the weight converter
