@@ -250,8 +250,10 @@ def main():
         "Unrolled_ADMM_Gaussian(8)_bounded", "Unrolled_ADMM_Gaussian(4)_bounded",
         "Unrolled_ADMM_Gaussian(2)_bounded", "Unrolled_ADMM_Gaussian(8)",
         "Unrolled_ADMM_Gaussian(4)", "Unrolled_ADMM_Gaussian(2)",
-        "ShapeNet", "ShapeNet_tpu", "Tikhonet_Laplacian", "Richard-Lucy(30)",
-        "FPFS", "No_Deconv") if m in all_methods]
+        "Unrolled_ADMM_Gaussian(8)_refproto", "Unrolled_ADMM_Gaussian(4)_refproto",
+        "Unrolled_ADMM_Gaussian(2)_refproto",
+        "ShapeNet", "ShapeNet_tpu", "ShapeNet_tpu_2M", "Tikhonet_Laplacian",
+        "Richard-Lucy(30)", "FPFS", "No_Deconv") if m in all_methods]
     if ci_methods:
         ci_table = summarize_cis(args.result, ci_methods)
         if not replace_block(out, "CI TABLE", ci_table):
