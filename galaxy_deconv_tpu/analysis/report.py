@@ -102,7 +102,8 @@ def summarize_cis(
             continue
         cells = []
         for snr in snrs:
-            if (str(snr) in res and str(snr) in gt_res
+            if ("rec_shear" in res.get(str(snr), {})
+                    and "gt_shear" in gt_res.get(str(snr), {})
                     and not _dataset_mismatch(res, gt_res, snr)):
                 p, lo, hi = bootstrap_ci(res[str(snr)]["rec_shear"], gt_res[str(snr)]["gt_shear"], n_boot=n_boot)
                 cells.append(f"{p:.4f} [{lo:.4f}, {hi:.4f}]")
@@ -138,7 +139,8 @@ def error_table(
                       f"{gt_method}'s gt_shear is from {_entry_root(gt_res, snr)} — "
                       "rec/gt from different datasets are not comparable)", file=sys.stderr)
                 continue
-            if str(snr) in res and str(snr) in gt_res:
+            if ("rec_shear" in res.get(str(snr), {})
+                    and "gt_shear" in gt_res.get(str(snr), {})):
                 row[snr] = _median_err(res[str(snr)]["rec_shear"], gt_res[str(snr)]["gt_shear"])
         if "time" in res:
             secs, n = res["time"]
