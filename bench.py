@@ -45,6 +45,9 @@ def main(argv=None):
 
     from galaxy_deconv_tpu.metrics import estimate_shear
     from galaxy_deconv_tpu.models import UnrolledADMMGaussian
+    from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)

@@ -34,6 +34,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from galaxy_deconv_tpu.data.dataset import GalaxyDataset
     from galaxy_deconv_tpu.eval.harness import _batched_rec_shear, make_apply_fn
     from galaxy_deconv_tpu.metrics import estimate_shear

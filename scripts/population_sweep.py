@@ -65,6 +65,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from galaxy_deconv_tpu.data.simulate import SimulationConfig, simulate_batch_at_snr
     from galaxy_deconv_tpu.metrics import estimate_shear
     from galaxy_deconv_tpu.models import build_model

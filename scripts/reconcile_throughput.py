@@ -35,6 +35,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import numpy as np
 
     from galaxy_deconv_tpu.data import GalaxyDataset

@@ -64,6 +64,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # watchdog restarts skip the >10-min compile
+
     from galaxy_deconv_tpu.data.dataset import train_val_indices
     from galaxy_deconv_tpu.data.simulate import SimulationConfig, simulate_batch
     from galaxy_deconv_tpu.losses import build_loss

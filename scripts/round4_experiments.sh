@@ -50,7 +50,7 @@ stage "r4-refproto-sweep" 3000 python scripts/run_benchmark.py $BENCHARGS \
 
 # 2. ShapeNet continuation toward the reference's ~2M-sample budget
 stage "r4-shapenet-2M" 7200 python scripts/train_zoo.py --models shapenet --suffix _2M \
-  --steps 20000 --init_from saved_models_online/ShapeNet_Laplacian_cont_4000epochs
+  --steps 20000 --init_from trained/ShapeNet_Laplacian_cont_4000epochs
 stage "r4-shapenet-2M-sweep" 1800 python scripts/run_benchmark.py $BENCHARGS --only ShapeNet_tpu_2M
 
 # 3. bf16 parity on current checkpoints + benchmark + metric

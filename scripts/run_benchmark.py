@@ -98,6 +98,9 @@ def main():
 
     logging.basicConfig(level=logging.INFO)
 
+    from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from galaxy_deconv_tpu.analysis import (
         summarize_cis,
         summarize_psf_results,

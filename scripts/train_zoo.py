@@ -80,6 +80,9 @@ def main():
     import jax
     import numpy as np
 
+    from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from galaxy_deconv_tpu.data.simulate import SimulationConfig, simulate_batch, simulate_batch_denoise
     from galaxy_deconv_tpu.losses import build_loss
     from galaxy_deconv_tpu.models import ResUNetDenoiser, Tikhonet, UnrolledADMM, UnrolledADMMGaussian
