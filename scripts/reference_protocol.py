@@ -109,9 +109,11 @@ def main():
         name = f"RefProto_Gaussian_PnP_ADMM_{n_iters}iters_MultiScale"
         # the first multi_step call compiles a scan(steps_per_call) of the full
         # fwd+bwd — over the tunneled backend that legitimately exceeds the
-        # 600s loop fuse (observed: ADMM(8) at scan(25) > 600s), so the fuse
-        # is widened for the compile and tightened once steps are flowing
-        dog = StallWatchdog(1800.0, name=f"refproto[{name}]").start()
+        # 600s loop fuse (observed: ADMM(8) at scan(10) was still compiling at
+        # 30 min, blocked in the device RPC with no local CPU burn), so the
+        # fuse is widened for the compile and tightened once steps are
+        # flowing; the persistent compile cache makes any restart skip it
+        dog = StallWatchdog(3600.0, name=f"refproto[{name}]").start()
         model = UnrolledADMMGaussian(features=(32, 64, 128, 256), n_iters=n_iters)
         sample = {k: np.asarray(v[:2]) for k, v in data.items()}
         optimizer = default_optimizer(args.lr)  # constant lr + clip 1.0
