@@ -38,9 +38,22 @@ def upload_split(ds: GalaxyDataset, limit: Optional[int] = None) -> dict:
 
 
 def make_indexed_train_step(model, loss_fn: Callable, optimizer, data: dict, donate: bool = True):
-    """(state, idx) -> (state, loss): gather the minibatch on device."""
-    step = _indexed_step_fn(model, loss_fn, optimizer, data)
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    """(state, idx) -> (state, loss): gather the minibatch on device.
+
+    ``data`` is threaded into the jitted function as an *argument*, never
+    a closure: a closed-over device array is baked into the lowered
+    program as a constant, and at 40k stamps (~1 GB) that constant makes
+    the tunneled compile RPC effectively unbounded (observed: >30 min,
+    twice, for the flagship's fused step).  As an argument the split is a
+    zero-copy parameter of every call instead.
+    """
+    step = _indexed_step_fn(model, loss_fn, optimizer)
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def call(state: TrainState, idx: jnp.ndarray):
+        return jitted(state, idx, data)
+
+    return call
 
 
 def make_indexed_multi_step(model, loss_fn: Callable, optimizer, data: dict, donate: bool = True):
@@ -48,18 +61,24 @@ def make_indexed_multi_step(model, loss_fn: Callable, optimizer, data: dict, don
     one ``lax.scan``'d XLA call — over the tunneled backend the per-call
     dispatch latency dominates a 32-stamp step, so fusing K steps cuts an
     epoch's round-trips by K (the offline counterpart of
-    ``fit_online(steps_per_call=...)``)."""
-    step = _indexed_step_fn(model, loss_fn, optimizer, data)
+    ``fit_online(steps_per_call=...)``).  ``data`` is an argument of the
+    jitted call, not a closure — see :func:`make_indexed_train_step`."""
+    step = _indexed_step_fn(model, loss_fn, optimizer)
 
-    def multi(state: TrainState, idxs: jnp.ndarray):
-        state, losses = jax.lax.scan(lambda st, idx: step(st, idx), state, idxs)
+    def multi(state: TrainState, idxs: jnp.ndarray, data: dict):
+        state, losses = jax.lax.scan(lambda st, idx: step(st, idx, data), state, idxs)
         return state, losses.mean()
 
-    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+    def call(state: TrainState, idxs: jnp.ndarray):
+        return jitted(state, idxs, data)
+
+    return call
 
 
-def _indexed_step_fn(model, loss_fn: Callable, optimizer, data: dict):
-    def step(state: TrainState, idx: jnp.ndarray):
+def _indexed_step_fn(model, loss_fn: Callable, optimizer):
+    def step(state: TrainState, idx: jnp.ndarray, data: dict):
         batch = {k: v[idx] for k, v in data.items()}
 
         def loss_of(params):

@@ -120,12 +120,15 @@ def main():
         state, optimizer = create_train_state(model, jax.random.PRNGKey(0), sample, optimizer)
         multi_step = make_indexed_multi_step(model, loss_fn, optimizer, data)
 
+        # data enters as a jit *argument*: a closed-over device array is
+        # baked into the program as a ~1 GB constant and stalls the
+        # tunneled compile RPC (train/device_resident.py docstring)
         @jax.jit
-        def eval_loss_batch(params, batch_stats, idx):
+        def eval_loss_batch(params, batch_stats, idx, d):
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
-            b = {k: v[idx] for k, v in data.items()}
+            b = {k: v[idx] for k, v in d.items()}
             rec = model.apply(variables, b["obs"], b["psf"], b["alpha"], False)
             return loss_fn(b["gt"], rec)
 
@@ -133,7 +136,7 @@ def main():
             vals = []
             for s in range(0, len(va_idx) - args.batch * 8 + 1, args.batch * 8):
                 vals.append(float(eval_loss_batch(state.params, state.batch_stats,
-                                                  jnp.asarray(va_idx[s: s + args.batch * 8]))))
+                                                  jnp.asarray(va_idx[s: s + args.batch * 8]), data)))
             return float(np.mean(vals))
 
         rng = np.random.default_rng(args.seed)
