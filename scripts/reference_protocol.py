@@ -104,6 +104,8 @@ def main():
               "runs": {}}
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():  # per-depth invocations merge into one report
+        report["runs"].update(json.loads(out.read_text()).get("runs", {}))
 
     for n_iters in args.models:
         name = f"RefProto_Gaussian_PnP_ADMM_{n_iters}iters_MultiScale"
