@@ -15,7 +15,9 @@ mkdir -p logs/stamps
 stage() {
   local name="$1" tmo="$2"; shift 2
   local stampname rc
-  stampname=$(echo "$name" | tr -c 'A-Za-z0-9._-' '_')
+  # printf, not echo: echo's trailing newline became a trailing '_' in the
+  # stamp name, so externally pre-created stamps never matched
+  stampname=$(printf '%s' "$name" | tr -c 'A-Za-z0-9._-' '_')
   if [ -f "logs/stamps/$stampname.done" ]; then
     echo "=== $name already done, skipping ==="
     return 0
