@@ -146,3 +146,28 @@ class TestHarness:
         res = run_psnr_test("Richard-Lucy(10)", root, tmp_path, snrs=(100,), n_gal=8, batch_size=8)
         assert "psnr_median" in res["100"]
         assert np.isfinite(res["100"]["psnr_median"])
+
+
+class TestPersistentCompileCache:
+    """utils/cache.py: the persistent XLA executable cache (DESIGN.md risk #11)."""
+
+    def test_enable_sets_config_and_creates_dir(self, tmp_path, monkeypatch):
+        import jax
+
+        from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+
+        target = tmp_path / "xla_cache"
+        out = enable_persistent_cache(target, min_compile_secs=0.0)
+        assert out == target and target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        # a fresh compile must land an executable in the cache dir
+        jax.jit(lambda x: (x * 3).sum())(jax.numpy.ones((4, 4))).block_until_ready()
+        assert any(target.iterdir()), "no executable persisted to the cache dir"
+
+    def test_env_kill_switch(self, tmp_path, monkeypatch):
+        from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
+
+        monkeypatch.setenv("GDT_NO_COMPILE_CACHE", "1")
+        target = tmp_path / "never_created"
+        enable_persistent_cache(target)
+        assert not target.exists()
