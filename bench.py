@@ -22,9 +22,9 @@ BASELINE_GAL_PER_SEC = 1.0 / 0.0590  # reference 8-iter ADMM incl. shear measure
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=256,
-                        help="256 is the measured throughput-optimal batch on v5e: larger "
-                             "batches push the 96x96 FFT/conv working set past VMEM and go "
-                             "HBM-bound (B=256 ~9.0k gal/s vs B=1024 ~7.3k)")
+                        help="256 is the measured throughput-optimal batch on v5e, re-tuned "
+                             "after the round-5 matmul-DFT spectral path (ops/dft.py): "
+                             "B=128/256/512/1024 -> 10.9k/11.8k/11.1k/9.7k gal/s")
     parser.add_argument("--repeats", type=int, default=40)
     parser.add_argument("--quick", action="store_true", help="small batch / few repeats")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")

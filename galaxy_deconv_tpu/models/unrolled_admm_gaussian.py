@@ -30,32 +30,65 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from galaxy_deconv_tpu.nets import ResUNet, SubNet
-from galaxy_deconv_tpu.ops import fourier
+from galaxy_deconv_tpu.ops import dft, fourier
 
 
-def gaussian_spectra(y: jnp.ndarray, psf: jnp.ndarray):
+def _spec_fns(impl: str):
+    """Resolve the padded-spectrum transform pair for ``impl``.
+
+    ``"matmul"`` routes the ``pad+shift+rfft2`` / ``irfft2+shift+crop``
+    round-trips through dense MXU matmuls with the layout ops folded into
+    the DFT matrices (ops/dft.py — measured ~35% of model wall-clock
+    reclaimed on v5e); ``"xla"`` is the stock FFT path; ``"auto"`` picks
+    matmul on TPU, FFT elsewhere (small-size DFT matmuls are a TPU-shaped
+    trade — on CPU the FFT wins).
+    """
+    if impl == "auto":
+        impl = "matmul" if jax.default_backend() == "tpu" else "xla"
+    if impl == "matmul":
+        return dft.spec_rfft2_padded, dft.spec_irfft2_cropped
+
+    def fwd(x):
+        return fourier.rfft2(fourier.ifftshift2(fourier.pad_double(x)))
+
+    def inv(S, shape):
+        padded = (2 * shape[0], 2 * shape[1])
+        return fourier.crop_half(fourier.fftshift2(fourier.irfft2(S, padded)))
+
+    return fwd, inv
+
+
+def gaussian_spectra(y: jnp.ndarray, psf: jnp.ndarray, impl: str = "auto"):
     """Padded-domain spectra for the Gaussian ADMM: Y, Ht, |H|^2 at (2H, 2W)."""
-    Y = fourier.rfft2(fourier.ifftshift2(fourier.pad_double(y)))
-    H = fourier.rfft2(fourier.ifftshift2(fourier.pad_double(psf)))
+    fwd, _ = _spec_fns(impl)
+    Y = fwd(y)
+    H = fwd(psf)
     return Y, jnp.conj(H), jnp.abs(H) ** 2
 
 
-def wiener_init(Y: jnp.ndarray, Ht: jnp.ndarray, HtH: jnp.ndarray, alpha: jnp.ndarray, shape) -> jnp.ndarray:
-    """Wiener-deconvolution initialization on the padded grid, cropped back."""
-    x0 = fourier.fftshift2(fourier.irfft2(Y * Ht / (HtH + 1.0 / alpha[..., None, None]), shape))
-    return fourier.crop_half(x0)
+def wiener_init(Y: jnp.ndarray, Ht: jnp.ndarray, HtH: jnp.ndarray, alpha: jnp.ndarray, shape,
+                impl: str = "auto") -> jnp.ndarray:
+    """Wiener-deconvolution initialization on the padded grid, cropped back.
+
+    ``shape`` is the *output* stamp shape (H, W).
+    """
+    _, inv = _spec_fns(impl)
+    return inv(Y * Ht / (HtH + 1.0 / alpha[..., None, None]), shape)
 
 
-def x_update(Y, Ht, HtH, z, u, rho, shape):
+def x_update(Y, Ht, HtH, z, u, rho, shape, impl: str = "auto"):
     """Closed-form Fourier solve of the quadratic x-subproblem.
 
     ``rho`` is (B, 1, 1) so it broadcasts against both the (B, H, W) image
-    grid and the (B, 2H, W+1) half-spectrum grid.
+    grid and the (B, 2H, W+1) half-spectrum grid.  ``shape`` is the output
+    stamp shape (H, W).
     """
-    rhs = Ht * Y + fourier.rfft2(fourier.ifftshift2(fourier.pad_double(rho * z - u)))
-    x = fourier.fftshift2(fourier.irfft2(rhs / (rho + HtH), shape))
-    return fourier.crop_half(x)
+    fwd, inv = _spec_fns(impl)
+    rhs = Ht * Y + fwd(rho * z - u)
+    return inv(rhs / (rho + HtH), shape)
 
 
 class UnrolledADMMGaussian(nn.Module):
@@ -76,19 +109,19 @@ class UnrolledADMMGaussian(nn.Module):
     # in a non-degenerate range.
     rho_bounds: "tuple[float, float] | None" = None
     dtype: Any = jnp.float32
-    # Route the x-update's pointwise spectral solve through the fused Pallas
-    # kernel (ops.pallas_kernels; batch-last lane layout).  Inference-only:
-    # the kernel has no VJP, training uses the XLA path.
-    use_pallas: bool = False
+    # Spectral-transform implementation for the padded x-update round-trips:
+    # "auto" (matmul-DFT on TPU / stock FFT elsewhere), "matmul", or "xla".
+    # See ops/dft.py for the measured rationale.
+    fft_impl: str = "auto"
 
     @nn.compact
     def __call__(self, obs: jnp.ndarray, psf: jnp.ndarray, alpha: jnp.ndarray, train: bool = False):
         B = obs.shape[0]
         alpha = jnp.reshape(alpha, (B,)).astype(jnp.float32)
         y = jnp.maximum(obs, 0.0)
-        padded_shape = (2 * y.shape[-2], 2 * y.shape[-1])
+        stamp_shape = (y.shape[-2], y.shape[-1])
 
-        Y, Ht, HtH = gaussian_spectra(y, psf)
+        Y, Ht, HtH = gaussian_spectra(y, psf, self.fft_impl)
 
         if self.subnet and self.rho_bounds is not None:
             lo, hi = self.rho_bounds
@@ -102,21 +135,14 @@ class UnrolledADMMGaussian(nn.Module):
 
         denoiser = ResUNet(features=self.features, dtype=self.dtype)
 
-        z = wiener_init(Y, Ht, HtH, alpha, padded_shape)
+        z = wiener_init(Y, Ht, HtH, alpha, stamp_shape, self.fft_impl)
         u = jnp.zeros_like(y)
-
-        if self.use_pallas:
-            from galaxy_deconv_tpu.ops.pallas_kernels import x_update_batch_last
-
-            solve = x_update_batch_last
-        else:
-            solve = x_update
 
         traces = {"x": [], "z": [], "u": [], "rho": []}
         for i in range(self.n_iters):
             rho = rho_iters[:, i][:, None]  # (B, 1), broadcast over (B, H, W) via [..., None]
             rho_img = rho[..., None]
-            x = solve(Y, Ht, HtH, z, u, rho_img, padded_shape)
+            x = x_update(Y, Ht, HtH, z, u, rho_img, stamp_shape, self.fft_impl)
             z = denoiser((rho_img * x + u)[..., None])[..., 0]
             u = u + rho_img * (x - z)
             if self.analysis:

@@ -11,10 +11,16 @@ the 128-wide lane dimension exactly, and the whole update is one
 VMEM-resident elementwise kernel over (8, 128) tiles — one HBM read per
 operand, one write, zero intermediate traffic.
 
-``x_update_spectral`` (the jnp reference implementation) and
-``x_update_spectral_pallas`` are interchangeable; the solver selects via
-``use_pallas``.  Correctness is pinned by tests (interpret mode on CPU);
-the TPU benchmark lives in scripts/bench_pallas.py.
+**Status: documented negative result — not wired into any model path.**
+Measured on v5e (scripts/bench_pallas.py, RESULTS.md throughput table),
+the kernel *loses* to XLA's own fusion of the same pointwise chain
+(0.036 ms vs 0.031 ms): XLA already emits a single fused elementwise
+loop here, so the hand-written kernel only adds the batch-last
+transposes.  The solver's former ``use_pallas`` flag was removed in
+round 5; the spectral round-trips were instead moved onto the MXU as
+fused DFT matmuls (ops/dft.py), which obsoletes this kernel's layout
+premise entirely.  The kernel and its tests (interpret mode, CPU) are
+kept as the evidence base for that decision.
 """
 
 from __future__ import annotations

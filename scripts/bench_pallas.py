@@ -46,7 +46,7 @@ def main():
     rho = jnp.ones((B, 1, 1))
 
     Y, Ht, HtH = gaussian_spectra(y, psf)
-    f_xla = jax.jit(lambda *a: x_update(*a, (96, 96)))
+    f_xla = jax.jit(lambda *a: x_update(*a, (48, 48), "xla"))
     f_pls = jax.jit(lambda *a: x_update_batch_last(*a, (96, 96)))
     t_xla = timeit(f_xla, Y, Ht, HtH, z, u, rho)
     t_pls = timeit(f_pls, Y, Ht, HtH, z, u, rho)

@@ -46,6 +46,6 @@ class TestXUpdateDropIn:
         rho = jnp.asarray(np.abs(rng.standard_normal((B, 1, 1))).astype(np.float32)) + 0.5
 
         Y, Ht, HtH = gaussian_spectra(y, psf)
-        want = np.asarray(x_update(Y, Ht, HtH, z, u, rho, (96, 96)))
+        want = np.asarray(x_update(Y, Ht, HtH, z, u, rho, (48, 48), impl="xla"))
         got = np.asarray(x_update_batch_last(Y, Ht, HtH, z, u, rho, (96, 96), interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
