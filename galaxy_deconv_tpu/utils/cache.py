@@ -26,19 +26,23 @@ _DEFAULT_DIR = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
 
 
 def enable_persistent_cache(cache_dir: str | os.PathLike | None = None,
-                            min_compile_secs: float = 5.0) -> pathlib.Path:
+                            min_compile_secs: float = 5.0) -> "pathlib.Path | None":
     """Route XLA compilations through an on-disk cache (idempotent).
 
     Only compilations slower than ``min_compile_secs`` are persisted, so
     CPU-test miniatures don't bloat the cache while every real TPU
     executable (tens of seconds to tens of minutes) is reused across
     process restarts.  Set ``GDT_NO_COMPILE_CACHE=1`` to disable.
+
+    Returns the active cache directory, or ``None`` when the kill switch
+    disabled caching (so callers can't mistake an inert path for a live
+    cache).
     """
     import jax
 
     if os.environ.get("GDT_NO_COMPILE_CACHE"):
         logger.info("persistent compile cache disabled by GDT_NO_COMPILE_CACHE")
-        return _DEFAULT_DIR
+        return None
     path = pathlib.Path(cache_dir) if cache_dir else _DEFAULT_DIR
     path.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(path))

@@ -31,6 +31,13 @@ REF = {
          "Unrolled_ADMM_Gaussian(8)": 0.0656, "ShapeNet": 0.0766},
     40: {"No_Deconv": 0.0619, "FPFS": 0.0734, "Richard-Lucy(30)": 0.0683,
          "Unrolled_ADMM_Gaussian(8)": 0.0499, "ShapeNet": 0.0534},
+    # high-SNR rows for the round-5 morphology experiment (VERDICT #7)
+    100: {"No_Deconv": 0.0652, "FPFS": 0.0387, "Richard-Lucy(30)": 0.0330,
+          "Unrolled_ADMM_Gaussian(8)": 0.0251, "ShapeNet": 0.0276},
+    150: {"No_Deconv": 0.0718, "FPFS": 0.0278, "Richard-Lucy(30)": 0.0269,
+          "Unrolled_ADMM_Gaussian(8)": 0.0188, "ShapeNet": 0.0207},
+    200: {"No_Deconv": 0.0684, "FPFS": 0.0257, "Richard-Lucy(30)": 0.0236,
+          "Unrolled_ADMM_Gaussian(8)": 0.0175, "ShapeNet": 0.0225},
 }
 
 # config name -> SimulationConfig overrides
@@ -43,6 +50,11 @@ CONFIGS = {
     "cuspy": dict(sersic_n_min=1.0, sersic_n_max=4.0),
     "exponential": dict(sersic_n_min=1.0, sersic_n_max=1.0),
     "large_no_env": dict(hlr_min=0.2, hlr_max=1.0, env_frac_max=0.0),
+    # clumpy cores: 4 off-center Gaussian knots carrying 5-15% of the flux
+    # (the round-5 high-SNR morphology experiment — the one COSMOS property
+    # the smooth parametric population lacks; VERDICT #7)
+    "clumpy": dict(knot_frac_min=0.05, knot_frac_max=0.15),
+    "very_clumpy": dict(knot_frac_min=0.15, knot_frac_max=0.35),
 }
 
 

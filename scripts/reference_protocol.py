@@ -44,7 +44,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", type=int, nargs="+", default=[8, 4, 2])
+    ap.add_argument("--models", nargs="+", default=["8", "4", "2"],
+                    help="ADMM depths (8/4/2) and/or 'shapenet' (Tikhonet+Shape "
+                         "under the same fixed-dataset protocol — the round-4 "
+                         "regime-hypothesis test for the denoiser family)")
     ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--n_stamps", type=int, default=40000)
     ap.add_argument("--batch", type=int, default=32)
@@ -97,18 +100,27 @@ def main():
     tr_idx, va_idx = train_val_indices(n, args.split, args.seed)
     dog.stop()
 
-    loss_fn = build_loss("MultiScale")
-    report = {"protocol": {"epochs": args.epochs, "n_stamps": n, "batch": args.batch,
-                           "lr": args.lr, "split": args.split, "loss": "MultiScale",
-                           "lr_schedule": "constant", "selection": "best-val"},
-              "runs": {}}
+    report = {"runs": {}}
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     if out.exists():  # per-depth invocations merge into one report
         report["runs"].update(json.loads(out.read_text()).get("runs", {}))
 
-    for n_iters in args.models:
-        name = f"RefProto_Gaussian_PnP_ADMM_{n_iters}iters_MultiScale"
+    for spec in args.models:
+        if spec == "shapenet":
+            loss_name = "Shape"
+            name = "RefProto_ShapeNet_Laplacian_Shape"
+        else:
+            loss_name = "MultiScale"
+            n_iters = int(spec)
+            name = f"RefProto_Gaussian_PnP_ADMM_{n_iters}iters_MultiScale"
+        loss_fn = build_loss(loss_name)
+        # the protocol is stamped per run (not once at top level) so runs
+        # trained under different epochs/lr/batch merged into one report
+        # keep their own provenance
+        protocol = {"epochs": args.epochs, "n_stamps": n, "batch": args.batch,
+                    "lr": args.lr, "split": args.split, "loss": loss_name,
+                    "lr_schedule": "constant", "selection": "best-val"}
         # the first multi_step call compiles a scan(steps_per_call) of the full
         # fwd+bwd — over the tunneled backend that legitimately exceeds the
         # 600s loop fuse (observed: ADMM(8) at scan(10) was still compiling at
@@ -116,7 +128,12 @@ def main():
         # fuse is widened for the compile and tightened once steps are
         # flowing; the persistent compile cache makes any restart skip it
         dog = StallWatchdog(3600.0, name=f"refproto[{name}]").start()
-        model = UnrolledADMMGaussian(features=(32, 64, 128, 256), n_iters=n_iters)
+        if spec == "shapenet":
+            from galaxy_deconv_tpu.models import Tikhonet
+
+            model = Tikhonet(filter="Laplacian")
+        else:
+            model = UnrolledADMMGaussian(features=(32, 64, 128, 256), n_iters=n_iters)
         sample = {k: np.asarray(v[:2]) for k, v in data.items()}
         optimizer = default_optimizer(args.lr)  # constant lr + clip 1.0
         state, optimizer = create_train_state(model, jax.random.PRNGKey(0), sample, optimizer)
@@ -177,7 +194,8 @@ def main():
         # best-val selection for the benchmark sweep (checkpoint.best_epoch)
         hist_file = pathlib.Path(args.save_path) / f"{name}_history.json"
         hist_file.write_text(json.dumps({"best_step": best_epoch_n, **hist}))
-        report["runs"][name] = {"best_epoch": best_epoch_n, "best_val": best, **hist}
+        report["runs"][name] = {"best_epoch": best_epoch_n, "best_val": best,
+                                "protocol": protocol, **hist}
         out.write_text(json.dumps(report, indent=1))
         print(f"{name}: best val {best:.5g} at epoch {best_epoch_n}")
         dog.stop()

@@ -48,6 +48,19 @@ TRAINED_SPECS = {
                                            "RefProto_Gaussian_PnP_ADMM_4iters_MultiScale"),
     "Unrolled_ADMM_Gaussian(2)_refproto": ("Unrolled_ADMM_Gaussian(2)",
                                            "RefProto_Gaussian_PnP_ADMM_2iters_MultiScale"),
+    # ShapeNet under the fixed-dataset reference protocol (round-5: the
+    # regime-hypothesis test for the denoiser family, VERDICT weak #2)
+    "ShapeNet_refproto": ("ShapeNet", "RefProto_ShapeNet_Laplacian_Shape"),
+    # the loss-x-model training matrix (reference train.py:58-74; shipped
+    # results/Unrolled_ADMM_Gaussian(8)_Shape and (4)_Shape)
+    "Unrolled_ADMM_Gaussian(8)_Shape": ("Unrolled_ADMM_Gaussian(8)",
+                                        "Gaussian_PnP_ADMM_8iters_Shape"),
+    "Unrolled_ADMM_Gaussian(4)_Shape": ("Unrolled_ADMM_Gaussian(4)",
+                                        "Gaussian_PnP_ADMM_4iters_Shape"),
+    "Unrolled_ADMM_Gaussian(2)_MomentBased": ("Unrolled_ADMM_Gaussian(2)",
+                                              "Gaussian_PnP_ADMM_2iters_MomentBased"),
+    "Unrolled_ADMM_Gaussian(2)_BestEllipse": ("Unrolled_ADMM_Gaussian(2)",
+                                              "Gaussian_PnP_ADMM_2iters_BestEllipse"),
 }
 
 # reference shipped checkpoints transplanted through the weight converter

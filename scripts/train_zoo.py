@@ -23,7 +23,14 @@ SPECS = {
     # flagship trained with the shape-constraint loss (any --loss combines
     # with any --model in the reference CLI, train.py:58-74)
     "admm8_shape": ("Gaussian_PnP_ADMM_8iters_Shape", "admm", dict(n_iters=8), "Shape"),
+    # mirrors the reference's shipped results/Unrolled_ADMM_Gaussian(4)_Shape
+    "admm4_shape": ("Gaussian_PnP_ADMM_4iters_Shape", "admm", dict(n_iters=4), "Shape"),
     "admm8_moment": ("Gaussian_PnP_ADMM_8iters_MomentBased", "admm", dict(n_iters=8), "MomentBasedLoss"),
+    # the reference's committed MomentBased training log is ADMM(2)
+    # (train_output_20250305_195425.txt); BestEllipse has no reference
+    # artifact — same cheap depth so the L4 losses all get a trained row
+    "admm2_moment": ("Gaussian_PnP_ADMM_2iters_MomentBased", "admm", dict(n_iters=2), "MomentBasedLoss"),
+    "admm2_ellipse": ("Gaussian_PnP_ADMM_2iters_BestEllipse", "admm", dict(n_iters=2), "BestEllipse"),
     # Poisson-likelihood two-dual ADMM (reference models/Unrolled_ADMM.py —
     # eval-alive in test.py:42-44; train-dead there, trainable here)
     "poisson8": ("Poisson_PnP_ADMM_8iters_MultiScale", "admm_poisson", dict(n_iters=8), "MultiScale"),

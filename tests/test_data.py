@@ -33,6 +33,21 @@ class TestSimulator:
         # unit flux at high res -> 1/16 after 4x average downsampling
         np.testing.assert_allclose(batch["psf"].sum(axis=(1, 2)), 1.0 / 16, rtol=1e-4)
 
+    def test_clumpy_knots_knob(self, batch):
+        # knots on: stamps stay finite and normalized, pixels actually move;
+        # knots off (the default) is byte-identical to the pre-knob population
+        from galaxy_deconv_tpu.data.simulate import SimulationConfig
+
+        cfg_on = SimulationConfig(knot_frac_min=0.2, knot_frac_max=0.2, knot_sigma=0.06)
+        on = jax.tree.map(np.asarray, simulate_batch(jax.random.PRNGKey(0), 8, cfg_on))
+        assert np.isfinite(on["gt"]).all() and np.isfinite(on["obs"]).all()
+        # same scene parameters, different morphology
+        assert np.abs(on["gt"] - batch["gt"]).max() > 0
+        # flux (alpha scaling) conventions unchanged: same per-sample gt norm
+        np.testing.assert_allclose(
+            np.sqrt((on["gt"] ** 2).sum(axis=(1, 2))),
+            np.sqrt((batch["gt"] ** 2).sum(axis=(1, 2))), rtol=0.05)
+
     def test_snr_definition(self, batch):
         # alpha scaling: ||downsampled gt||_2 / sigma == target snr
         emp = np.sqrt((batch["gt"] ** 2).sum(axis=(1, 2))) / noise_sigma()

@@ -151,23 +151,33 @@ class TestHarness:
 class TestPersistentCompileCache:
     """utils/cache.py: the persistent XLA executable cache (DESIGN.md risk #11)."""
 
-    def test_enable_sets_config_and_creates_dir(self, tmp_path, monkeypatch):
+    def test_enable_sets_config_and_creates_dir(self, tmp_path):
         import jax
 
         from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
 
-        target = tmp_path / "xla_cache"
-        out = enable_persistent_cache(target, min_compile_secs=0.0)
-        assert out == target and target.is_dir()
-        assert jax.config.jax_compilation_cache_dir == str(target)
-        # a fresh compile must land an executable in the cache dir
-        jax.jit(lambda x: (x * 3).sum())(jax.numpy.ones((4, 4))).block_until_ready()
-        assert any(target.iterdir()), "no executable persisted to the cache dir"
+        # snapshot process-global jax config: later compiles in this pytest
+        # process must not keep persisting executables into the tmp dir
+        prev_dir = jax.config.jax_compilation_cache_dir
+        prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+        try:
+            target = tmp_path / "xla_cache"
+            out = enable_persistent_cache(target, min_compile_secs=0.0)
+            assert out == target and target.is_dir()
+            assert jax.config.jax_compilation_cache_dir == str(target)
+            # a fresh compile must land an executable in the cache dir
+            jax.jit(lambda x: (x * 3).sum())(jax.numpy.ones((4, 4))).block_until_ready()
+            assert any(target.iterdir()), "no executable persisted to the cache dir"
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_secs)
 
     def test_env_kill_switch(self, tmp_path, monkeypatch):
         from galaxy_deconv_tpu.utils.cache import enable_persistent_cache
 
         monkeypatch.setenv("GDT_NO_COMPILE_CACHE", "1")
         target = tmp_path / "never_created"
-        enable_persistent_cache(target)
+        # the kill-switch branch returns None — not a path that would
+        # misrepresent an inactive cache as live
+        assert enable_persistent_cache(target) is None
         assert not target.exists()
