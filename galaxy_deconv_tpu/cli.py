@@ -48,7 +48,8 @@ def _cmd_train(ns):
 
     if cfg.model == "Unrolled_ADMM":
         # train.py:41 — the Gaussian flagship regardless of --llh
-        model = UnrolledADMMGaussian(n_iters=cfg.n_iters, subnet=not cfg.remove_subnet)
+        model = UnrolledADMMGaussian(n_iters=cfg.n_iters, subnet=not cfg.remove_subnet,
+                                     fft_impl=cfg.fft_impl)
     elif cfg.model in ("Tikhonet", "ShapeNet"):
         model = Tikhonet(filter=cfg.filter)
     elif cfg.model == "ResUNet":

@@ -22,6 +22,9 @@ class RunConfig:
     llh: str = "Gaussian"
     filter: str = "Laplacian"
     remove_subnet: bool = False
+    # spectral-transform implementation for the padded ADMM solves:
+    # "auto" = matmul-DFT on TPU / stock FFT elsewhere (ops/dft.py)
+    fft_impl: str = "auto"
     # training
     loss: str = "MultiScale"
     n_epochs: int = 50
@@ -51,6 +54,8 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     parser.add_argument("--llh", type=str, default=d.llh, choices=["Gaussian", "Poisson"])
     parser.add_argument("--filter", type=str, default=d.filter, choices=["Identity", "Laplacian"])
     parser.add_argument("--remove_SubNet", dest="remove_subnet", action="store_true")
+    parser.add_argument("--fft_impl", type=str, default=d.fft_impl,
+                        choices=["auto", "matmul", "xla"])
     parser.add_argument("--loss", type=str, default=d.loss,
                         choices=["MultiScale", "MSE", "Shape", "BestEllipse", "MomentBasedLoss"])
     parser.add_argument("--n_epochs", type=int, default=d.n_epochs)
