@@ -52,13 +52,18 @@ def _plan(n: int, rfft: bool):
 
     Returns (Ar, Ai): real/imag of A[f, r] = exp(-2i*pi*f*(r - n/2)/(2n)),
     f over the full canvas (2n) or the rfft half (n+1).
+
+    NUMPY on purpose: the cache is shared across jit traces, and a jnp
+    array materialized *during* a trace is a trace-local constant
+    (DynamicJaxprTracer) — caching one leaks it into the next trace
+    (UnexpectedTracerError, observed in the round-5 eval sweep).  numpy
+    operands embed as fresh constants per trace.
     """
     canvas = 2 * n
     f = np.arange(n + 1 if rfft else canvas)
     r = np.arange(n)
     ang = -2.0 * np.pi * np.outer(f, (r - n // 2)) / canvas
-    return (jnp.asarray(np.cos(ang), jnp.float32),
-            jnp.asarray(np.sin(ang), jnp.float32))
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
 @functools.lru_cache(maxsize=None)
@@ -67,7 +72,8 @@ def _iplan(n: int, rfft: bool):
 
     Returns (Br, Bi): real/imag of B[r, f] = w_f * exp(2i*pi*f*(r - n/2)/(2n)) / (2n)
     with rfft Hermitian weights w_f (1 at f = 0 and f = n, 2 between) when
-    ``rfft``, else w_f = 1 over the full canvas.
+    ``rfft``, else w_f = 1 over the full canvas.  numpy for the same
+    cross-trace-cache reason as :func:`_plan`.
     """
     canvas = 2 * n
     f = np.arange(n + 1 if rfft else canvas)
@@ -77,8 +83,8 @@ def _iplan(n: int, rfft: bool):
     if rfft:
         w[1:n] = 2.0
     scale = w / canvas
-    return (jnp.asarray(np.cos(ang) * scale, jnp.float32),
-            jnp.asarray(np.sin(ang) * scale, jnp.float32))
+    return ((np.cos(ang) * scale).astype(np.float32),
+            (np.sin(ang) * scale).astype(np.float32))
 
 
 def spec_rfft2_padded(x: jnp.ndarray) -> jnp.ndarray:

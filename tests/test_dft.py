@@ -48,6 +48,21 @@ class TestSpecTransforms:
         got = np.asarray(dft.spec_irfft2_cropped(S, hw))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
 
+    def test_plan_cache_safe_across_traces(self):
+        # regression (round-5 eval-sweep failure): the transform-matrix cache
+        # must hold numpy, because a jnp constant materialized during one jit
+        # trace is a trace-local tracer — caching it leaks it into the next
+        # trace (UnexpectedTracerError).  Simulate a cold cache whose first
+        # population happens INSIDE a jit trace, then trace again.
+        dft._plan.cache_clear()
+        dft._iplan.cache_clear()
+        x = jnp.ones((2, 48, 48))
+        jax.jit(lambda x: dft.spec_rfft2_padded(x).real.sum())(x)
+        jax.jit(lambda x: dft.spec_rfft2_padded(x * 2).real.sum())(x)  # must not raise
+        S = dft.spec_rfft2_padded(x)
+        jax.jit(lambda s: dft.spec_irfft2_cropped(s, (48, 48)).sum())(S)
+        jax.jit(lambda s: dft.spec_irfft2_cropped(s * 2, (48, 48)).sum())(S)
+
     def test_roundtrip_identity(self, rng):
         # pad -> spectrum -> crop is exactly identity on the stamp
         x = jnp.asarray(rng.standard_normal((2, 48, 48)).astype(np.float32))
