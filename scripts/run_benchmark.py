@@ -267,7 +267,8 @@ def main():
         "Unrolled_ADMM_Gaussian(2)_bounded", "Unrolled_ADMM_Gaussian(8)",
         "Unrolled_ADMM_Gaussian(4)", "Unrolled_ADMM_Gaussian(2)",
         "Unrolled_ADMM_Gaussian(8)_refproto", "Unrolled_ADMM_Gaussian(4)_refproto",
-        "Unrolled_ADMM_Gaussian(2)_refproto",
+        "Unrolled_ADMM_Gaussian(2)_refproto", "ShapeNet_refproto",
+        "Unrolled_ADMM_Gaussian(8)_Shape", "Unrolled_ADMM_Gaussian(4)_Shape",
         "ShapeNet", "ShapeNet_tpu", "ShapeNet_tpu_2M", "Tikhonet_Laplacian",
         "Richard-Lucy(30)", "FPFS", "No_Deconv") if m in all_methods]
     if ci_methods:
