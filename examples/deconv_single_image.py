@@ -19,12 +19,22 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def load_stamp():
-    """Load the demo stamp: the packed test set if present, else random."""
-    root = pathlib.Path("datasets/LSST_23.5_deconv_tpu/test")
-    if root.exists():
-        obs = np.load(root / "obs.npy", mmap_mode="r")[0].astype(np.float32)
+    """Load the demo stamp from the first packed benchmark dataset found."""
+    for name in ("LSST_23.5_deconv_tpu", "LSST_23.5_deconv_tpu_10k"):
+        root = pathlib.Path("datasets") / name / "test"
+        if not root.exists():
+            continue
+        # the benchmark layout stores fixed-SNR variants (obs_100 etc.);
+        # the plain layout a single obs
+        obs_file = root / "obs.npy"
+        if not obs_file.exists():
+            obs_file = root / "obs_100.npy"
+        gt_file = root / "gt.npy"
+        if not gt_file.exists():
+            gt_file = root / "gt_100.npy"
+        obs = np.load(obs_file, mmap_mode="r")[0].astype(np.float32)
         psf = np.load(root / "psf.npy", mmap_mode="r")[0].astype(np.float32)
-        gt = np.load(root / "gt.npy", mmap_mode="r")[0].astype(np.float32)
+        gt = np.load(gt_file, mmap_mode="r")[0].astype(np.float32)
         return obs, psf, gt
     raise SystemExit("no dataset found — run: python -m galaxy_deconv_tpu.cli generate ...")
 
