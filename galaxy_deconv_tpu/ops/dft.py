@@ -38,12 +38,20 @@ reference computes them as literal pad/roll/fftn calls on CUDA.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PRECISION = jax.lax.Precision.HIGHEST  # fp32-accurate MXU passes
+# fp32-accurate MXU passes by default.  GDT_DFT_PRECISION=high selects the
+# 3-pass variant: measured only +2% end-to-end (12.00k -> 12.24k gal/s —
+# the spectral path is already a small slice post-matmul-DFT) for a ~1e-3
+# |g| shift on the fixture stamp, so the fp32-accurate default stands.
+_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("GDT_DFT_PRECISION", "highest").lower()]
 
 
 @functools.lru_cache(maxsize=None)
