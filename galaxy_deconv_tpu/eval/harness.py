@@ -91,21 +91,27 @@ def _batched_rec_shear(apply_fn, ds: GalaxyDataset, n_gal: int, batch_size: int,
     With ``mesh`` the batch axis is sharded across the device mesh and the
     jitted programs run SPMD (the multi-chip form of the reference's
     test.py loop; batch_size should be a multiple of the mesh size).
-    """
-    sharding = None
-    if mesh is not None:
-        from galaxy_deconv_tpu.parallel import batch_sharding
 
-        sharding = batch_sharding(mesh)
+    Single-device sweeps take the **bulk-upload** path: the whole variant's
+    stamps go to the device in one transfer per field, batches are sliced
+    on-device, and every host sync is deferred to one final fetch of the
+    (n, 3) shear table.  Over the tunneled device link the per-batch
+    round-trips — not wire bandwidth — dominate the old loop (the 6.3x
+    eval-vs-bench gap in figures/throughput_reconciliation.json), so the
+    sweep cost collapses to upload + compute.  Under a mesh the per-batch
+    path is kept: multi-chip feeding is per-host by design (parallel/).
+    """
+    n = min(n_gal, len(ds))
+    if mesh is None:
+        return _rec_shear_bulk(apply_fn, ds, n, batch_size, method)
+    from galaxy_deconv_tpu.parallel import batch_sharding
+
+    sharding = batch_sharding(mesh)
 
     def device_put(*arrays):
-        arrays = tuple(jnp.asarray(a) for a in arrays)
-        if sharding is not None:
-            arrays = tuple(jax.device_put(a, sharding) for a in arrays)
-        return arrays
+        return tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
 
     shears = []
-    n = min(n_gal, len(ds))
     for s in range(0, n, batch_size):
         idx = np.arange(s, min(s + batch_size, n))
         take = idx.shape[0]
@@ -122,6 +128,36 @@ def _batched_rec_shear(apply_fn, ds: GalaxyDataset, n_gal: int, batch_size: int,
             rec = apply_fn(obs, psf, alpha)
         shears.append(np.asarray(estimate_shear(rec))[:take])
     return np.concatenate(shears, axis=0)
+
+
+def _rec_shear_bulk(apply_fn, ds: GalaxyDataset, n: int, batch_size: int, method: str):
+    """Single-device sweep body: one upload per field, on-device slicing,
+    one final fetch.  Semantically identical to the per-batch path
+    (tests/test_eval.py asserts equality)."""
+    # read only the fields the sweep needs (gt stays on disk)
+    obs_h = np.asarray(ds.obs[:n], np.float32)
+    psf_h = np.asarray(ds.psf[:n], np.float32)
+    pad = (-n) % batch_size
+    if pad:  # repeat the last galaxy up to the steady-state batch shape
+        obs_h = np.concatenate([obs_h, np.repeat(obs_h[-1:], pad, axis=0)])
+        psf_h = np.concatenate([psf_h, np.repeat(psf_h[-1:], pad, axis=0)])
+    obs = jnp.asarray(obs_h)
+    psf = jnp.asarray(psf_h)
+    # reference convention: per-sample alpha = mean(obs); computed host-side
+    # exactly as GalaxyDataset.batch does so both paths agree bit-for-bit
+    alpha = jnp.asarray(obs_h.mean(axis=(1, 2)))
+    shears = []
+    for s in range(0, obs.shape[0], batch_size):
+        ob, ps, al = (a[s:s + batch_size] for a in (obs, psf, alpha))
+        if method == "No_Deconv":
+            rec = ob
+        elif method == "FPFS":
+            shears.append(estimate_shear(ob, ps, deconv_psf=True))
+            continue
+        else:
+            rec = apply_fn(ob, ps, al)
+        shears.append(estimate_shear(rec))
+    return np.asarray(jnp.concatenate(shears, axis=0))[:n]
 
 
 def run_shear_test(

@@ -90,6 +90,9 @@ def main():
     parser.add_argument("--ckpt", default="saved_models_online")
     parser.add_argument("--admm8_epoch", type=int, default=0, help="0 = latest")
     parser.add_argument("--skip_time", action="store_true")
+    parser.add_argument("--skip_shear", action="store_true",
+                        help="leave accuracy sweeps untouched (e.g. a time-table "
+                             "refresh after a harness perf change)")
     parser.add_argument("--skip_psf", action="store_true")
     parser.add_argument("--skip_psnr", action="store_true")
     parser.add_argument("--only", nargs="*", default=None, help="restrict to these result names")
@@ -219,8 +222,9 @@ def main():
     for method, spec in methods.items():
         kw = dict(spec)
         build_name = kw.pop("build_name", method)
-        run_shear_test(build_name, args.data, args.result, snrs=snrs, n_gal=args.n_gal,
-                       batch_size=args.batch, result_name=method, **kw)
+        if not args.skip_shear:
+            run_shear_test(build_name, args.data, args.result, snrs=snrs, n_gal=args.n_gal,
+                           batch_size=args.batch, result_name=method, **kw)
         if not args.skip_time:
             run_time_test(build_name, args.data, args.result, n_gal=args.n_gal,
                           batch_size=args.batch, warmup=1, result_name=method, **kw)

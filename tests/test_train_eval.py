@@ -106,6 +106,27 @@ class TestHarness:
             np.asarray(a["100"]["rec_shear"]), np.asarray(b["100"]["rec_shear"]), rtol=2e-4, atol=2e-4
         )
 
+    def test_bulk_path_matches_per_batch_oracle(self, root):
+        """The bulk-upload sweep (one transfer per field, on-device slicing,
+        deferred sync) is bit-identical to a naive per-batch loop over
+        GalaxyDataset.batch — the pre-round-5 harness semantics."""
+        from galaxy_deconv_tpu.eval.harness import _rec_shear_bulk, make_apply_fn
+        from galaxy_deconv_tpu.metrics import estimate_shear
+
+        ds = GalaxyDataset(root, "test", obs_variant="obs_100")
+        apply_fn = make_apply_fn("Richard-Lucy(10)")
+        bulk = _rec_shear_bulk(apply_fn, ds, 10, 4, "Richard-Lucy(10)")
+        oracle = []
+        for s in range(0, 12, 4):
+            idx = np.arange(s, min(s + 4, 10))
+            take = idx.shape[0]
+            if take < 4:
+                idx = np.concatenate([idx, np.full(4 - take, idx[-1])])
+            b = ds.batch(idx)
+            rec = apply_fn(b["obs"], b["psf"], b["alpha"])
+            oracle.append(np.asarray(estimate_shear(rec))[:take])
+        np.testing.assert_array_equal(bulk, np.concatenate(oracle, axis=0))
+
     def test_mesh_sharded_sweep_matches_local(self, root, tmp_path):
         """The SPMD eval path (batch sharded over the 8-device mesh) produces
         the same measurements as the single-device path."""
