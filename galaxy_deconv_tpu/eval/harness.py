@@ -296,14 +296,24 @@ def run_psnr_test(
     results_file = pathlib.Path(result_path) / (result_name or method) / "results.json"
     for snr in snrs:
         ds = GalaxyDataset(data_root, "test", obs_variant=f"obs_{snr}")
-        vals = []
         n = min(n_gal, len(ds))
-        for s in range(0, n, batch_size):
-            b = ds.batch(np.arange(s, min(s + batch_size, n)))
-            obs, psf, alpha = jnp.asarray(b["obs"]), jnp.asarray(b["psf"]), jnp.asarray(b["alpha"])
-            rec = obs if method in ("No_Deconv", "FPFS") else apply_fn(obs, psf, alpha)
-            vals.append(np.asarray(psnr(rec, jnp.asarray(b["gt"]))))
-        vals = np.concatenate(vals)
+        # bulk-upload form (see _rec_shear_bulk): one transfer per field,
+        # on-device slicing at a fixed batch shape, one final fetch
+        obs_h = np.asarray(ds.obs[:n], np.float32)
+        psf_h = np.asarray(ds.psf[:n], np.float32)
+        gt_h = np.asarray(ds.gt[:n], np.float32)
+        pad = (-n) % batch_size
+        if pad:
+            obs_h, psf_h, gt_h = (np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                                  for a in (obs_h, psf_h, gt_h))
+        obs, psf, gt = jnp.asarray(obs_h), jnp.asarray(psf_h), jnp.asarray(gt_h)
+        alpha = jnp.asarray(obs_h.mean(axis=(1, 2)))
+        vals = []
+        for s in range(0, obs.shape[0], batch_size):
+            ob, ps, al, g = (a[s:s + batch_size] for a in (obs, psf, alpha, gt))
+            rec = ob if method in ("No_Deconv", "FPFS") else apply_fn(ob, ps, al)
+            vals.append(psnr(rec, g))
+        vals = np.asarray(jnp.concatenate(vals))[:n]
         # PSNR compares rec against the same batch's gt, so it cannot mix
         # datasets internally — but an unstamped merge into a results.json
         # whose shear rows came from a different dataset would silently
