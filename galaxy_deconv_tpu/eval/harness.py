@@ -82,7 +82,7 @@ def make_apply_fn(method: str, variables: Optional[dict] = None, **model_kwargs)
 
 
 def _batched_rec_shear(apply_fn, ds: GalaxyDataset, n_gal: int, batch_size: int, method: str,
-                       mesh=None):
+                       mesh=None, cache=None, cache_fields=()):
     """Run a method over the first n_gal galaxies, measure shear, batched.
 
     Every device call uses the same (batch_size, 48, 48) shapes — a ragged
@@ -103,7 +103,8 @@ def _batched_rec_shear(apply_fn, ds: GalaxyDataset, n_gal: int, batch_size: int,
     """
     n = min(n_gal, len(ds))
     if mesh is None:
-        return _rec_shear_bulk(apply_fn, ds, n, batch_size, method)
+        return _rec_shear_bulk(apply_fn, ds, n, batch_size, method, cache=cache,
+                               cache_fields=cache_fields)
     from galaxy_deconv_tpu.parallel import batch_sharding
 
     sharding = batch_sharding(mesh)
@@ -130,22 +131,40 @@ def _batched_rec_shear(apply_fn, ds: GalaxyDataset, n_gal: int, batch_size: int,
     return np.concatenate(shears, axis=0)
 
 
-def _rec_shear_bulk(apply_fn, ds: GalaxyDataset, n: int, batch_size: int, method: str):
+def _rec_shear_bulk(apply_fn, ds: GalaxyDataset, n: int, batch_size: int, method: str,
+                    cache=None, cache_fields=()):
     """Single-device sweep body: one upload per field, on-device slicing,
     one final fetch.  Semantically identical to the per-batch path
-    (tests/test_eval.py asserts equality)."""
-    # read only the fields the sweep needs (gt stays on disk)
-    obs_h = np.asarray(ds.obs[:n], np.float32)
-    psf_h = np.asarray(ds.psf[:n], np.float32)
-    pad = (-n) % batch_size
-    if pad:  # repeat the last galaxy up to the steady-state batch shape
-        obs_h = np.concatenate([obs_h, np.repeat(obs_h[-1:], pad, axis=0)])
-        psf_h = np.concatenate([psf_h, np.repeat(psf_h[-1:], pad, axis=0)])
-    obs = jnp.asarray(obs_h)
-    psf = jnp.asarray(psf_h)
-    # reference convention: per-sample alpha = mean(obs); computed host-side
-    # exactly as GalaxyDataset.batch does so both paths agree bit-for-bit
-    alpha = jnp.asarray(obs_h.mean(axis=(1, 2)))
+    (tests/test_eval.py asserts equality).
+
+    ``cache``/``cache_fields``: a dict the *caller* owns, holding device
+    arrays for fields that are constant across the sweep's variants —
+    ``psf`` in the SNR sweep (only obs_{snr} changes), ``obs`` (+alpha) in
+    the PSF-systematics sweep (only the perturbed PSF changes).  The sweep
+    is wire-bandwidth-bound over the tunneled link once per-batch
+    round-trips are gone, so not re-uploading the constant half of the
+    bytes is the remaining lever.
+    """
+    cache = cache if cache is not None else {}
+
+    def upload(field):  # memmap read -> pad -> one H2D transfer
+        key = (field, n, batch_size)
+        if field in cache_fields and key in cache:
+            return cache[key]
+        h = np.asarray(getattr(ds, field)[:n], np.float32)
+        pad = (-n) % batch_size
+        if pad:  # repeat the last galaxy up to the steady-state batch shape
+            h = np.concatenate([h, np.repeat(h[-1:], pad, axis=0)])
+        # reference convention: per-sample alpha = mean(obs); computed
+        # host-side exactly as GalaxyDataset.batch does so both paths agree
+        # bit-for-bit
+        out = (jnp.asarray(h), jnp.asarray(h.mean(axis=(1, 2))) if field == "obs" else None)
+        if field in cache_fields:
+            cache[key] = out
+        return out
+
+    obs, alpha = upload("obs")
+    psf, _ = upload("psf")
     shears = []
     for s in range(0, obs.shape[0], batch_size):
         ob, ps, al = (a[s:s + batch_size] for a in (obs, psf, alpha))
@@ -178,9 +197,11 @@ def run_shear_test(
     apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
     results_file = pathlib.Path(result_path) / (result_name or method) / "results.json"
 
+    cache: dict = {}  # the PSF stack is identical across obs_{snr} variants
     for snr in snrs:
         ds = GalaxyDataset(data_root, "test", obs_variant=f"obs_{snr}")
-        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh)
+        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh,
+                                       cache=cache, cache_fields=("psf",))
         update = {str(snr): {"rec_shear": rec_shear.tolist(),
                              "data_root": str(data_root)}}
         if method == "No_Deconv":
@@ -264,9 +285,11 @@ def run_psf_error_test(
     deconvolve the true observations with perturbed PSFs."""
     apply_fn = None if method in ("No_Deconv", "FPFS") else make_apply_fn(method, variables, **model_kwargs)
     results_file = pathlib.Path(result_path) / (result_name or method) / f"results_psf_{kind}_err.json"
+    cache: dict = {}  # the observations are identical across perturbed-PSF legs
     for e in errs:
         ds = GalaxyDataset(data_root, "test", psf_variant=f"psf_{kind}_err_{e}")
-        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh)
+        rec_shear = _batched_rec_shear(apply_fn, ds, n_gal, batch_size, method, mesh,
+                                       cache=cache, cache_fields=("obs",))
         _merge_write(
             results_file,
             {str(e): {"rec_shear": rec_shear.tolist(), "data_root": str(data_root)},

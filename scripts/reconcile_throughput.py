@@ -61,7 +61,11 @@ def main():
         t0 = time.time()
         _batched_rec_shear(apply_fn, ds, n, batch, "x")
         dt = time.time() - t0
-        rows[label] = {"batch": batch, "dtype": dtype, "input": "memmap+H2D/batch",
+        # the harness input mode changed in round 5: bulk upload per variant
+        # + on-device slicing (eval/harness.py _rec_shear_bulk) replaced the
+        # per-batch H2D round-trips this ladder originally diagnosed
+        rows[label] = {"batch": batch, "dtype": dtype,
+                       "input": "memmap -> bulk upload + on-device slicing",
                        "gal_per_sec": round(n / dt, 1)}
         print(f"{label}: {n / dt:.0f} gal/s")
 
